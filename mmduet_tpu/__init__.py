@@ -1,0 +1,22 @@
+"""MMDuet-TPU: a TPU-native streaming VideoLLM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of MMDuet
+(the video-text *duet* interaction format for streaming VideoLLMs,
+reference: yellow-binary-tree/MMDuet): video frames stream into the
+model as a third conversation role, and two lightweight score heads
+(informative / relevance) riding the LM's last hidden state decide,
+frame by frame, when the assistant should speak.
+
+Subpackages
+-----------
+- ``mmduet_tpu.stream``   — chat template, char-offset learn ranges, labels
+- ``mmduet_tpu.models``   — Qwen2 decoder, SigLIP tower, projector, score heads (pure JAX)
+- ``mmduet_tpu.ops``      — Pallas TPU kernels (fused attention, pooling)
+- ``mmduet_tpu.parallel`` — device mesh, sharding rules, collectives layout
+- ``mmduet_tpu.infer``    — streaming inference engine with a static-shape KV cache
+- ``mmduet_tpu.data``     — video datasets, collator, host-side decode
+- ``mmduet_tpu.train``    — LoRA fine-tuning loop (pjit, sharded optimizer, orbax)
+- ``mmduet_tpu.eval``     — benchmark harness + metric stack (DVC/QVH/grounding/MAGQA)
+"""
+
+__version__ = "0.1.0"
