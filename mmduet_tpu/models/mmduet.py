@@ -1,0 +1,249 @@
+"""The MMDuet-TPU model assembly: tower + projector + decoder + score heads.
+
+Functional equivalent of the reference's `VideoHeadLiveLlavaQwenForCausalLM`
+(`models/live_llava/video_head_live_llava_qwen.py:67-205`) and `LiveMixin`
+(`models/modeling_live.py:13-48`), rebuilt as pure JAX functions over a
+params pytree:
+
+- ``visual_embed``     — SigLIP patches → projector MLP → bilinear 27→7
+  spatial pooling → 49 tokens/frame.
+- ``joint_embed``      — text embeddings with ``<image>`` positions replaced
+  by visual features via a static-shape cumsum-gather (no boolean
+  fancy-indexing, XLA-friendly).
+- ``train_forward``    — full-sequence forward returning LM + score-head
+  losses. The reference's informative/relevance label-key bug
+  (SURVEY.md §2.10(1)) is fixed: labels are actually consumed here.
+- ``step_forward``     — one streaming step against the static KV cache,
+  returning last-position LM logits and frame scores. Score-only steps skip
+  the 152k-vocab lm_head matmul entirely (a TPU-side win the reference
+  doesn't have: it always computes full logits, `video_head_live_llava_qwen.py:155`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MMDuetConfig
+from . import qwen2, siglip
+from .qwen2 import KVCache
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_mmduet_params(rng: jax.Array, cfg: MMDuetConfig, dtype=jnp.float32) -> Params:
+    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+    h = cfg.text.hidden_size
+    vh = cfg.vision.hidden_size
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) / np.sqrt(shape[0])).astype(dtype)
+
+    return {
+        "decoder": qwen2.init_qwen2_params(k1, cfg.text, dtype),
+        "lm_head": dense(k2, (h, cfg.text.vocab_size)),
+        "informative_head": dense(k3, (h, cfg.num_score_classes)),
+        "relevance_head": dense(k4, (h, cfg.num_score_classes)),
+        "projector": {
+            "fc1": dense(k5, (vh, h)),
+            "fc1_bias": jnp.zeros((h,), dtype),
+            "fc2": dense(k6, (h, h)),
+            "fc2_bias": jnp.zeros((h,), dtype),
+        },
+        "vision": siglip.init_siglip_params(jax.random.fold_in(rng, 7), cfg.vision, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vision path
+# ---------------------------------------------------------------------------
+
+
+def spatial_pool(features: jax.Array, cfg: MMDuetConfig) -> jax.Array:
+    """(N, P, C) patch grid → pooled (N, frame_num_tokens, C).
+
+    LLaVA-OV default is bilinear resize of the 27×27 grid to
+    ceil(27/stride)=7 (`video_head_live_llava_qwen.py:100-119`).
+    """
+    N, P, C = features.shape
+    side = int(round(np.sqrt(P)))
+    stride = cfg.video_pooling_stride
+    out_side = -(-side // stride)  # ceil
+    grid = features.reshape(N, side, side, C)
+    mode = cfg.spatial_pool_mode
+    if mode == "bilinear":
+        pooled = jax.image.resize(
+            grid.astype(jnp.float32), (N, out_side, out_side, C),
+            method="bilinear", antialias=False,
+        ).astype(features.dtype)
+    elif mode == "average":
+        grid = grid[:, : out_side * stride, : out_side * stride]
+        pooled = grid.reshape(N, out_side, stride, out_side, stride, C).mean(axis=(2, 4))
+    elif mode == "max":
+        grid = grid[:, : out_side * stride, : out_side * stride]
+        pooled = grid.reshape(N, out_side, stride, out_side, stride, C).max(axis=(2, 4))
+    else:
+        raise ValueError(f"unknown spatial_pool_mode: {mode}")
+    return pooled.reshape(N, out_side * out_side, C)
+
+
+def project(params: Params, features: jax.Array) -> jax.Array:
+    """2-layer GELU MLP projector (LLaVA mm_projector)."""
+    p = params["projector"]
+    x = jnp.einsum("npv,vh->nph", features, p["fc1"], preferred_element_type=jnp.float32)
+    x = x.astype(features.dtype) + p["fc1_bias"].astype(features.dtype)
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(features.dtype)
+    x = jnp.einsum("nph,ho->npo", x, p["fc2"], preferred_element_type=jnp.float32)
+    return x.astype(features.dtype) + p["fc2_bias"].astype(features.dtype)
+
+
+def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array) -> jax.Array:
+    """Normalized pixels (N,H,W,3) → frame token embeddings
+    (N, frame_num_tokens, hidden). Order: vision → projector → pooling,
+    matching reference `LiveMixin.visual_embed` (`modeling_live.py:26-33`)."""
+    feats = siglip.siglip_encode(params["vision"], cfg.vision, pixels)
+    feats = project(params, feats)
+    return spatial_pool(feats, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Joint embedding (text + frames)
+# ---------------------------------------------------------------------------
+
+
+def joint_embed(
+    params: Params,
+    cfg: MMDuetConfig,
+    input_ids: jax.Array,  # (B, T)
+    frame_embeds: Optional[jax.Array],  # (N_frames, frame_num_tokens, H) or None
+) -> jax.Array:
+    """Text embeddings with ``<image>`` positions replaced by frame tokens.
+
+    Frames fill placeholder positions in batch-major row order (the collator
+    concatenates frames across the batch in the same order). Static-shape
+    scatter: k-th placeholder token (flattened order) takes the k-th frame
+    token via a cumsum gather.
+    """
+    text = qwen2.embed_tokens(params["decoder"], input_ids, cfg.text.vocab_size)
+    if frame_embeds is None:
+        return text
+    B, T, H = text.shape
+    flat_frames = frame_embeds.reshape(-1, H)
+    v_mask = (input_ids == cfg.v_placeholder_id).reshape(-1)
+    idx = jnp.cumsum(v_mask) - 1
+    idx = jnp.clip(idx, 0, flat_frames.shape[0] - 1)
+    gathered = jnp.take(flat_frames, idx, axis=0)
+    out = jnp.where(v_mask[:, None], gathered.astype(text.dtype), text.reshape(-1, H))
+    return out.reshape(B, T, H)
+
+
+# ---------------------------------------------------------------------------
+# Heads & losses
+# ---------------------------------------------------------------------------
+
+
+def _head(w: jax.Array, hidden: jax.Array) -> jax.Array:
+    return jnp.einsum("bth,hc->btc", hidden, w, preferred_element_type=jnp.float32)
+
+
+def masked_ce(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Mean cross-entropy over labels != -100. Returns (loss, count)."""
+    mask = labels != -100
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    count = mask.sum()
+    loss = jnp.where(count > 0, (nll * mask).sum() / jnp.maximum(count, 1), 0.0)
+    return loss, count
+
+
+class TrainOutput(NamedTuple):
+    loss: jax.Array
+    lm_loss: jax.Array
+    video_loss: jax.Array
+    lm_logits: jax.Array
+    informative_logits: jax.Array
+    relevance_logits: jax.Array
+
+
+def train_forward(
+    params: Params,
+    cfg: MMDuetConfig,
+    input_ids: jax.Array,  # (B, T)
+    attn_mask: jax.Array,  # (B, T) bool
+    frame_embeds: Optional[jax.Array],  # (N, frame_tokens, H) pre-computed
+    labels: jax.Array,  # (B, T) pre-shifted LM labels
+    informative_labels: jax.Array,  # (B, T)
+    relevance_labels: jax.Array,  # (B, T)
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    remat: bool = True,
+) -> TrainOutput:
+    """Full-sequence training forward. Labels are PRE-SHIFTED by the
+    collator (reference contract, `video_head_live_llava_qwen.py:163`)."""
+    B, T = input_ids.shape
+    embeds = joint_embed(params, cfg, input_ids, frame_embeds)
+    positions = jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1
+    hidden, _ = qwen2.qwen2_forward(
+        params["decoder"], cfg.text, embeds, positions,
+        attn_mask=attn_mask, lora=lora, lora_scale=lora_scale, remat=remat,
+    )
+    if cfg.video_head_stop_grad:
+        head_hidden = jax.lax.stop_gradient(hidden)
+    else:
+        head_hidden = hidden
+    lm = qwen2.lm_logits(params["lm_head"], hidden)
+    inf = _head(params["informative_head"], head_hidden)
+    rel = _head(params["relevance_head"], head_hidden)
+
+    lm_loss, _ = masked_ce(lm, labels)
+    video_logits = jnp.concatenate([inf, rel], axis=0)
+    video_labels = jnp.concatenate([informative_labels, relevance_labels], axis=0)
+    video_loss, _ = masked_ce(video_logits, video_labels)
+
+    loss = cfg.lm_loss_weight * lm_loss + cfg.video_loss_weight * video_loss
+    return TrainOutput(loss, lm_loss, video_loss, lm, inf, rel)
+
+
+class StepOutput(NamedTuple):
+    last_logits: Optional[jax.Array]  # (B, V) f32, None in score-only steps
+    informative_prob: jax.Array  # (B,) P(informative)
+    relevance_prob: jax.Array  # (B,)
+    kv_cache: KVCache
+
+
+def step_forward(
+    params: Params,
+    cfg: MMDuetConfig,
+    embeds: jax.Array,  # (B, T, H) chunk embeddings (text and/or frame)
+    kv_cache: KVCache,
+    cache_len: jax.Array,  # scalar int32
+    t_real: jax.Array,  # scalar int32: real (unpadded) tokens in chunk
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    compute_lm_logits: bool = True,
+) -> StepOutput:
+    """One streaming step: write chunk into cache, read scores at the last
+    real position. Equivalent of one reference `_encode_frame` /
+    `_encode_query` forward (`test/inference.py:221-255`)."""
+    B, T, H = embeds.shape
+    positions = cache_len + jnp.arange(T)[None, :].repeat(B, axis=0)
+    hidden, kv_cache = qwen2.qwen2_forward(
+        params["decoder"], cfg.text, embeds, positions,
+        kv_cache=kv_cache, cache_len=cache_len, lora=lora, lora_scale=lora_scale,
+    )
+    last = jax.lax.dynamic_index_in_dim(hidden, t_real - 1, axis=1)  # (B, 1, H)
+    inf = jax.nn.softmax(_head(params["informative_head"], last)[:, 0], axis=-1)[:, 1]
+    rel = jax.nn.softmax(_head(params["relevance_head"], last)[:, 0], axis=-1)[:, 1]
+    logits = None
+    if compute_lm_logits:
+        logits = qwen2.lm_logits(params["lm_head"], last)[:, 0]
+    return StepOutput(logits, inf, rel, kv_cache)

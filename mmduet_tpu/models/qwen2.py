@@ -1,0 +1,283 @@
+"""Qwen2 decoder in pure functional JAX, designed TPU-first.
+
+Replaces the reference's `transformers.Qwen2ForCausalLM` + flash-attention-2
++ HF dynamic KV cache stack (`models/modeling_live.py:92-99`,
+`video_head_live_llava_qwen.py:67-205`) with:
+
+- **parameters as a pytree** with per-layer weights STACKED on a leading
+  layer axis, so the transformer runs as one `lax.scan` — compile time is
+  flat in depth and XLA sees one fused layer body;
+- **a preallocated static-shape KV cache** advanced by a cursor
+  (`lax.dynamic_update_slice`), so streaming prefill never changes shapes
+  and never recompiles — the reference's growing python cache is replaced
+  by write-then-attend over a fixed HBM buffer;
+- bf16 weights/activations with f32 RMSNorm + f32 softmax accumulation
+  (the MXU-friendly precision policy).
+
+Streaming contract (used per frame by the inference engine): the chunk's
+K/V are written into the cache at ``cache_len`` FIRST, then attention runs
+over the whole cache buffer with a position mask ``j <= cache_len + i``.
+Padded tail tokens of a bucket produce garbage outputs that are never read,
+and their cache slots are overwritten by the next chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen2Config
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Preallocated KV cache: k/v of shape (L, B, S_max, kv_heads, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_qwen2_params(
+    rng: jax.Array, cfg: Qwen2Config, dtype=jnp.float32
+) -> Params:
+    """Random-init decoder params (layer-stacked). Real weights come from
+    checkpoint conversion (`mmduet_tpu.models.convert`)."""
+    keys = jax.random.split(rng, 12)
+    h, nh, kh, hd, mi = (
+        cfg.hidden_size,
+        cfg.num_heads,
+        cfg.num_kv_heads,
+        cfg.head_dim,
+        cfg.intermediate_size,
+    )
+    L = cfg.num_layers
+
+    def dense(key, shape, scale=None):
+        scale = scale if scale is not None else 1.0 / np.sqrt(shape[-2])
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    layers = {
+        "input_norm": jnp.ones((L, h), dtype),
+        "post_attn_norm": jnp.ones((L, h), dtype),
+        "q_proj": dense(keys[0], (L, h, nh * hd)),
+        "q_bias": jnp.zeros((L, nh * hd), dtype),
+        "k_proj": dense(keys[1], (L, h, kh * hd)),
+        "k_bias": jnp.zeros((L, kh * hd), dtype),
+        "v_proj": dense(keys[2], (L, h, kh * hd)),
+        "v_bias": jnp.zeros((L, kh * hd), dtype),
+        "o_proj": dense(keys[3], (L, nh * hd, h)),
+        "gate_proj": dense(keys[4], (L, h, mi)),
+        "up_proj": dense(keys[5], (L, h, mi)),
+        "down_proj": dense(keys[6], (L, mi, h)),
+    }
+    return {
+        "embed": dense(keys[7], (cfg.vocab_size, h), scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * weight.astype(jnp.float32)).astype(dt)
+
+
+def _rope_angles(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """positions: (B, T) -> cos/sin of shape (B, T, head_dim//2), f32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (B,T,hd/2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, T, heads, head_dim); HF 'half-rotation' layout."""
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(dt)
+
+
+def _attend(
+    q: jax.Array,  # (B, T, nh, hd)
+    k: jax.Array,  # (B, S, kh, hd)
+    v: jax.Array,  # (B, S, kh, hd)
+    mask: jax.Array,  # (B, T, S) bool — True = may attend
+) -> jax.Array:
+    """Grouped-query attention with f32 softmax. Returns (B, T, nh, hd)."""
+    B, T, nh, hd = q.shape
+    kh = k.shape[2]
+    group = nh // kh
+    q = q.reshape(B, T, kh, group, hd)
+    scores = jnp.einsum(
+        "btkgh,bskh->bkgts", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bskh->btkgh", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, nh, hd).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoder forward
+# ---------------------------------------------------------------------------
+
+
+def qwen2_forward(
+    params: Params,
+    cfg: Qwen2Config,
+    embeds: jax.Array,  # (B, T, H) input embeddings (already joint-embedded)
+    positions: jax.Array,  # (B, T) global positions (RoPE + masking)
+    kv_cache: Optional[KVCache] = None,
+    cache_len: Optional[jax.Array] = None,  # scalar int32: tokens already in cache
+    attn_mask: Optional[jax.Array] = None,  # (B, T) validity of input tokens
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder. Two modes:
+
+    - **full** (kv_cache is None): causal self-attention over the chunk;
+      used for training. ``attn_mask`` masks padding.
+    - **streaming** (kv_cache given): write chunk K/V at ``cache_len``,
+      attend over the whole cache with the position mask.
+
+    Returns (hidden_states (B,T,H), updated cache or None).
+    """
+    B, T, H = embeds.shape
+    cos, sin = _rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+    if kv_cache is not None:
+        S = kv_cache.max_len
+        # query i may attend to cache slot j iff j <= position of query i
+        slot = jnp.arange(S)[None, None, :]
+        mask = slot <= positions[:, :, None]
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, :, None]
+    else:
+        # causal over the chunk, optionally masked for padding
+        mask = positions[:, :, None] >= positions[:, None, :]
+        # padding tokens neither attend nor are attended
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, :] & attn_mask[:, :, None]
+
+    def layer_body(x, inputs):
+        p = inputs["p"]
+        lo = inputs.get("lora")
+
+        def proj(name, y, bias_name=None):
+            w = p[name]
+            out = jnp.einsum("bth,ho->bto", y, w, preferred_element_type=jnp.float32)
+            if lo is not None and name in lo:
+                a, b = lo[name]["a"], lo[name]["b"]  # (H,r), (r,O)
+                out = out + lora_scale * jnp.einsum(
+                    "btr,ro->bto",
+                    jnp.einsum("bth,hr->btr", y, a, preferred_element_type=jnp.float32),
+                    b,
+                    preferred_element_type=jnp.float32,
+                )
+            out = out.astype(x.dtype)
+            if bias_name is not None:
+                out = out + p[bias_name].astype(x.dtype)
+            return out
+
+        # --- attention block ---
+        y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        q = proj("q_proj", y, "q_bias").reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = proj("k_proj", y, "k_bias").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = proj("v_proj", y, "v_bias").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if kv_cache is not None:
+            k_cache = jax.lax.dynamic_update_slice(
+                inputs["k_cache"], k.astype(inputs["k_cache"].dtype), (0, cache_len, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                inputs["v_cache"], v.astype(inputs["v_cache"].dtype), (0, cache_len, 0, 0)
+            )
+            attn = _attend(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask)
+            new_kv = (k_cache, v_cache)
+        else:
+            attn = _attend(q, k, v, mask)
+            new_kv = ()
+
+        x = x + proj("o_proj", attn.reshape(B, T, cfg.num_heads * cfg.head_dim))
+
+        # --- MLP block ---
+        y = rms_norm(x, p["post_attn_norm"], cfg.rms_norm_eps)
+        gate = proj("gate_proj", y)
+        up = proj("up_proj", y)
+        x = x + proj("down_proj", jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
+        return x, new_kv
+
+    if remat:
+        layer_body = jax.checkpoint(layer_body)
+
+    xs: Dict[str, Any] = {"p": params["layers"]}
+    if lora is not None:
+        xs["lora"] = lora
+    if kv_cache is not None:
+        xs["k_cache"] = kv_cache.k
+        xs["v_cache"] = kv_cache.v
+
+    hidden, kv_out = jax.lax.scan(layer_body, embeds, xs)
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+
+    if kv_cache is not None:
+        new_cache = KVCache(k=kv_out[0], v=kv_out[1])
+        return hidden, new_cache
+    return hidden, None
+
+
+def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.Array:
+    """Token embedding with the reference's clamp trick: the `<image>`
+    placeholder id may be >= embedding rows and gets clamped
+    (`models/modeling_live.py:44`); its embedding is always overwritten by
+    visual features."""
+    ids = jnp.clip(input_ids, 0, vocab_size - 1)
+    return jnp.take(params["embed"], ids, axis=0)
+
+
+def lm_logits(lm_head: jax.Array, hidden: jax.Array) -> jax.Array:
+    """(B,T,H) @ (H,V) -> f32 logits."""
+    return jnp.einsum(
+        "bth,hv->btv", hidden, lm_head, preferred_element_type=jnp.float32
+    )

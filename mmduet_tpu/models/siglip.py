@@ -1,0 +1,134 @@
+"""SigLIP vision tower (so400m-patch14-384) in pure functional JAX.
+
+Replaces the reference's torch SigLIP path (`models/vision_live.py:11-31`
+and the llava package's vision tower used at
+`video_head_live_llava_qwen.py:93-98`). TPU-first choices:
+
+- patch embedding as reshape + one big matmul (explicit MXU mapping, no conv);
+- per-layer weights stacked + `lax.scan`, like the decoder;
+- feature selection at layer -2 is done by scanning only the first
+  ``num_layers - 1`` layers (LLaVA's `vision_feature_layer=-2`, no post-LN),
+  rather than materializing all hidden states.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiglipConfig
+
+Params = Dict[str, Any]
+
+
+def init_siglip_params(rng: jax.Array, cfg: SiglipConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(rng, 8)
+    h, mi, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    patch_dim = 3 * cfg.patch_size**2
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) / np.sqrt(shape[-2])).astype(dtype)
+
+    layers = {
+        "ln1_scale": jnp.ones((L, h), dtype),
+        "ln1_bias": jnp.zeros((L, h), dtype),
+        "ln2_scale": jnp.ones((L, h), dtype),
+        "ln2_bias": jnp.zeros((L, h), dtype),
+        "q_proj": dense(keys[0], (L, h, h)),
+        "q_bias": jnp.zeros((L, h), dtype),
+        "k_proj": dense(keys[1], (L, h, h)),
+        "k_bias": jnp.zeros((L, h), dtype),
+        "v_proj": dense(keys[2], (L, h, h)),
+        "v_bias": jnp.zeros((L, h), dtype),
+        "o_proj": dense(keys[3], (L, h, h)),
+        "o_bias": jnp.zeros((L, h), dtype),
+        "fc1": dense(keys[4], (L, h, mi)),
+        "fc1_bias": jnp.zeros((L, mi), dtype),
+        "fc2": dense(keys[5], (L, mi, h)),
+        "fc2_bias": jnp.zeros((L, h), dtype),
+    }
+    return {
+        "patch_embed": dense(keys[6], (patch_dim, h)),
+        "patch_bias": jnp.zeros((h,), dtype),
+        "pos_embed": (jax.random.normal(keys[7], (cfg.num_patches, h)) * 0.02).astype(dtype),
+        "layers": layers,
+    }
+
+
+def _layer_norm(x, scale, bias, eps):
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    out = (x - mu) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """(N, H, W, 3) -> (N, num_patches, 3*p*p), row-major patch order.
+
+    Feature layout matches a conv patch-embed with kernel laid out as
+    (C, ph, pw) flattened — the order HF SigLIP's Conv2d weight flattens to.
+    """
+    N, H, W, C = images.shape
+    p = patch_size
+    x = images.reshape(N, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # N, gh, gw, C, ph, pw
+    return x.reshape(N, (H // p) * (W // p), C * p * p)
+
+
+def siglip_encode(
+    params: Params,
+    cfg: SiglipConfig,
+    images: jax.Array,  # (N, H, W, 3) already normalized to [-1, 1]
+    feature_layer: int = -2,
+) -> jax.Array:
+    """Encode frames -> patch features (N, num_patches, hidden)."""
+    N = images.shape[0]
+    x = patchify(images, cfg.patch_size)
+    x = (
+        jnp.einsum("npd,dh->nph", x, params["patch_embed"], preferred_element_type=jnp.float32)
+        .astype(images.dtype)
+        + params["patch_bias"].astype(images.dtype)
+    )
+    x = x + params["pos_embed"].astype(x.dtype)[None]
+
+    num_layers = cfg.num_layers + feature_layer + 1 if feature_layer < 0 else feature_layer + 1
+    layer_params = jax.tree.map(lambda a: a[:num_layers], params["layers"])
+    nh = cfg.num_heads
+    hd = cfg.hidden_size // nh
+
+    def body(h, p):
+        y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
+
+        def proj(name, z, out_bias=True):
+            o = jnp.einsum("nph,ho->npo", z, p[name], preferred_element_type=jnp.float32).astype(h.dtype)
+            return o + p[name.replace("proj", "bias")].astype(h.dtype) if out_bias else o
+
+        q = (jnp.einsum("nph,ho->npo", y, p["q_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        k = (jnp.einsum("nph,ho->npo", y, p["k_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        v = (jnp.einsum("nph,ho->npo", y, p["v_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
+        attn = attn.reshape(N, -1, nh * hd)
+        attn = jnp.einsum("nph,ho->npo", attn, p["o_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["o_bias"].astype(h.dtype)
+        h = h + attn
+
+        y = _layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
+        y = jnp.einsum("nph,hm->npm", y, p["fc1"], preferred_element_type=jnp.float32).astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(h.dtype)
+        y = jnp.einsum("npm,mh->nph", y, p["fc2"], preferred_element_type=jnp.float32).astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
+        return h + y, ()
+
+    x, _ = jax.lax.scan(body, x, layer_params)
+    return x
+
+
+def normalize_pixels(frames_uint8: jax.Array) -> jax.Array:
+    """uint8 RGB (N,H,W,3) -> SigLIP-normalized f32 (mean/std 0.5, rescale
+    1/255 — reference `models/vision_live.py:14-16`)."""
+    return (frames_uint8.astype(jnp.float32) / 255.0 - 0.5) / 0.5

@@ -1,0 +1,268 @@
+"""Model-core tests: decoder correctness, streaming-vs-full parity,
+joint embedding, pooling, losses. All on tiny random-weight configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmduet_tpu.config import tiny_config
+from mmduet_tpu.models import (
+    init_kv_cache,
+    init_mmduet_params,
+    joint_embed,
+    masked_ce,
+    qwen2_forward,
+    spatial_pool,
+    step_forward,
+    train_forward,
+    visual_embed,
+)
+from mmduet_tpu.models.qwen2 import embed_tokens
+
+CFG = tiny_config()
+PARAMS = init_mmduet_params(jax.random.PRNGKey(0), CFG)
+
+
+def _rand_ids(rng, shape):
+    return jax.random.randint(rng, shape, 0, CFG.text.vocab_size - 2)
+
+
+class TestDecoder:
+    def test_full_forward_shapes_finite(self):
+        B, T = 2, 10
+        ids = _rand_ids(jax.random.PRNGKey(1), (B, T))
+        embeds = embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size)
+        pos = jnp.arange(T)[None].repeat(B, 0)
+        hidden, cache = qwen2_forward(PARAMS["decoder"], CFG.text, embeds, pos)
+        assert hidden.shape == (B, T, CFG.text.hidden_size)
+        assert cache is None
+        assert np.isfinite(np.asarray(hidden)).all()
+
+    def test_causality(self):
+        """Changing a future token must not change past hidden states."""
+        B, T = 1, 8
+        ids = _rand_ids(jax.random.PRNGKey(2), (B, T))
+        ids2 = ids.at[0, -1].set((ids[0, -1] + 1) % (CFG.text.vocab_size - 2))
+        pos = jnp.arange(T)[None]
+        h1, _ = qwen2_forward(
+            PARAMS["decoder"], CFG.text,
+            embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size), pos)
+        h2, _ = qwen2_forward(
+            PARAMS["decoder"], CFG.text,
+            embed_tokens(PARAMS["decoder"], ids2, CFG.text.vocab_size), pos)
+        np.testing.assert_allclose(h1[:, :-1], h2[:, :-1], atol=1e-5)
+        assert not np.allclose(h1[:, -1], h2[:, -1])
+
+    def test_streaming_matches_full(self):
+        """Chunked streaming forward against the KV cache must reproduce the
+        full forward — the core invariant of the static-cache design."""
+        B, T = 1, 12
+        ids = _rand_ids(jax.random.PRNGKey(3), (B, T))
+        embeds = embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size)
+        pos = jnp.arange(T)[None]
+        full, _ = qwen2_forward(PARAMS["decoder"], CFG.text, embeds, pos)
+
+        cache = init_kv_cache(CFG.text, B, 32, dtype=jnp.float32)
+        outs = []
+        cache_len = 0
+        for chunk in ((0, 5), (5, 3), (8, 4)):
+            s, n = chunk
+            e = embeds[:, s : s + n]
+            p = cache_len + jnp.arange(n)[None]
+            h, cache = qwen2_forward(
+                PARAMS["decoder"], CFG.text, e, p,
+                kv_cache=cache, cache_len=jnp.int32(cache_len))
+            outs.append(h)
+            cache_len += n
+        streamed = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(streamed), atol=2e-4)
+
+    def test_streaming_padded_bucket_matches(self):
+        """A chunk padded to a bucket must give the same last-real-position
+        output, and pads must not corrupt later steps (overwrite contract)."""
+        B, T = 1, 9
+        ids = _rand_ids(jax.random.PRNGKey(4), (B, T))
+        embeds = embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size)
+        pos = jnp.arange(T)[None]
+        full, _ = qwen2_forward(PARAMS["decoder"], CFG.text, embeds, pos)
+
+        cache = init_kv_cache(CFG.text, B, 32, dtype=jnp.float32)
+        # chunk 1: 5 real tokens padded to 8
+        pad = jnp.zeros((B, 3, embeds.shape[-1]))
+        e1 = jnp.concatenate([embeds[:, :5], pad], axis=1)
+        p1 = jnp.arange(8)[None]
+        h1, cache = qwen2_forward(
+            PARAMS["decoder"], CFG.text, e1, p1,
+            kv_cache=cache, cache_len=jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(full[:, 4]), np.asarray(h1[:, 4]), atol=2e-4)
+        # chunk 2 starts at cursor 5, overwriting pad slots
+        e2 = embeds[:, 5:9]
+        p2 = 5 + jnp.arange(4)[None]
+        h2, cache = qwen2_forward(
+            PARAMS["decoder"], CFG.text, e2, p2,
+            kv_cache=cache, cache_len=jnp.int32(5))
+        np.testing.assert_allclose(np.asarray(full[:, 5:9]), np.asarray(h2), atol=2e-4)
+
+    def test_padding_mask_full_mode(self):
+        """Right-padded batch rows must match their unpadded forward."""
+        B, T = 1, 6
+        ids = _rand_ids(jax.random.PRNGKey(5), (B, T))
+        embeds = embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size)
+        pos = jnp.arange(T)[None]
+        ref, _ = qwen2_forward(PARAMS["decoder"], CFG.text, embeds, pos,
+                               attn_mask=jnp.ones((B, T), bool))
+        padded = jnp.concatenate([embeds, jnp.zeros((B, 3, embeds.shape[-1]))], 1)
+        mask = jnp.concatenate([jnp.ones((B, T), bool), jnp.zeros((B, 3), bool)], 1)
+        pos_p = jnp.cumsum(mask.astype(jnp.int32), 1) - 1
+        out, _ = qwen2_forward(PARAMS["decoder"], CFG.text, padded, pos_p, attn_mask=mask)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out[:, :T]), atol=2e-4)
+
+
+class TestJointEmbed:
+    def test_scatter_order(self):
+        v = CFG.v_placeholder_id if CFG.v_placeholder_id >= 0 else CFG.text.vocab_size - 1
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1, frame_num_tokens=2)
+        vid = cfg.v_placeholder_id
+        ids = jnp.array([[1, vid, vid, 2, vid, vid, 3]])
+        frames = jnp.stack([
+            jnp.full((2, cfg.text.hidden_size), 10.0),
+            jnp.full((2, cfg.text.hidden_size), 20.0),
+        ])
+        out = joint_embed(PARAMS, cfg, ids, frames)
+        np.testing.assert_allclose(out[0, 1], 10.0)
+        np.testing.assert_allclose(out[0, 2], 10.0)
+        np.testing.assert_allclose(out[0, 4], 20.0)
+        np.testing.assert_allclose(out[0, 5], 20.0)
+        # non-placeholder positions are text embeddings
+        text = embed_tokens(PARAMS["decoder"], ids, cfg.text.vocab_size)
+        np.testing.assert_allclose(out[0, 0], text[0, 0])
+
+    def test_batch_major_order(self):
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1, frame_num_tokens=1)
+        vid = cfg.v_placeholder_id
+        ids = jnp.array([[vid, 1], [2, vid]])
+        frames = jnp.stack([
+            jnp.full((1, cfg.text.hidden_size), 10.0),
+            jnp.full((1, cfg.text.hidden_size), 20.0),
+        ])
+        out = joint_embed(PARAMS, cfg, ids, frames)
+        np.testing.assert_allclose(out[0, 0], 10.0)
+        np.testing.assert_allclose(out[1, 1], 20.0)
+
+
+class TestVision:
+    def test_visual_embed_shape(self):
+        N = 3
+        px = jax.random.normal(jax.random.PRNGKey(6),
+                               (N, CFG.frame_resolution, CFG.frame_resolution, 3))
+        out = visual_embed(PARAMS, CFG, px)
+        # 32/8 = 4 patches/side, stride 2 → 2x2 = 4 tokens
+        assert out.shape == (N, 4, CFG.text.hidden_size)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_bilinear_pool_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = np.random.RandomState(0).randn(2, 27 * 27, 5).astype(np.float32)
+        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="bilinear")
+        ours = np.asarray(spatial_pool(jnp.array(x), cfg))
+        t = torch.tensor(x).view(2, 27, 27, 5).permute(0, 3, 1, 2)
+        ref = F.interpolate(t, size=(7, 7), mode="bilinear")
+        ref = ref.permute(0, 2, 3, 1).reshape(2, 49, 5).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["average", "max"])
+    def test_pool_modes(self, mode):
+        x = jnp.ones((1, 16, 3))
+        cfg = CFG.replace(video_pooling_stride=2, spatial_pool_mode=mode)
+        out = spatial_pool(x, cfg)
+        assert out.shape == (1, 4, 3)
+        np.testing.assert_allclose(out, 1.0)
+
+
+class TestLosses:
+    def test_masked_ce_ignores(self):
+        logits = jnp.array([[[10.0, 0.0], [0.0, 10.0], [5.0, 5.0]]])
+        labels = jnp.array([[0, 1, -100]])
+        loss, count = masked_ce(logits, labels)
+        assert count == 2
+        assert float(loss) < 0.01
+
+    def test_masked_ce_all_ignored(self):
+        logits = jnp.ones((1, 3, 2))
+        labels = jnp.full((1, 3), -100)
+        loss, count = masked_ce(logits, labels)
+        assert count == 0 and float(loss) == 0.0
+
+    def test_train_forward_end_to_end(self):
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1)
+        vid = cfg.v_placeholder_id
+        B, T, F_ = 2, 12, 2
+        ids = np.random.RandomState(0).randint(0, 200, (B, T))
+        ids[0, 2:2 + cfg.frame_num_tokens] = vid
+        ids[1, 3:3 + cfg.frame_num_tokens] = vid
+        ids = jnp.array(ids)
+        mask = jnp.ones((B, T), bool)
+        frames = jax.random.normal(
+            jax.random.PRNGKey(8), (F_, cfg.frame_num_tokens, cfg.text.hidden_size))
+        labels = jnp.where(jnp.arange(T)[None] >= 8, ids, -100)
+        inf_l = jnp.full((B, T), -100).at[0, 2 + cfg.frame_num_tokens - 1].set(1)
+        rel_l = jnp.full((B, T), -100)
+        out = train_forward(PARAMS, cfg, ids, mask, frames, labels, inf_l, rel_l,
+                            remat=False)
+        assert np.isfinite(float(out.loss))
+        assert float(out.video_loss) > 0
+        assert out.lm_logits.shape == (B, T, cfg.text.vocab_size)
+
+    def test_train_forward_grads_flow(self):
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1)
+        ids = jnp.array([[1, 2, 3, 4, 5, 6]])
+        mask = jnp.ones((1, 6), bool)
+        labels = jnp.array([[-100, 2, 3, 4, 5, -100]])
+        ign = jnp.full((1, 6), -100)
+
+        def loss_fn(p):
+            return train_forward(p, cfg, ids, mask, None, labels, ign, ign,
+                                 remat=True).loss
+
+        g = jax.grad(loss_fn)(PARAMS)
+        gnorm = float(jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(lambda x: jnp.abs(x).sum(), g["decoder"])))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestStepForward:
+    def test_step_scores_and_cache(self):
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1)
+        B, H = 1, cfg.text.hidden_size
+        cache = init_kv_cache(cfg.text, B, 64, dtype=jnp.float32)
+        emb = jax.random.normal(jax.random.PRNGKey(9), (B, 8, H)) * 0.02
+        out = step_forward(PARAMS, cfg, emb, cache, jnp.int32(0), jnp.int32(8))
+        assert out.last_logits.shape == (B, cfg.text.vocab_size)
+        assert 0 <= float(out.informative_prob[0]) <= 1
+        assert 0 <= float(out.relevance_prob[0]) <= 1
+
+    def test_score_only_step_skips_lm_head(self):
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1)
+        cache = init_kv_cache(cfg.text, 1, 64, dtype=jnp.float32)
+        emb = jnp.zeros((1, 4, cfg.text.hidden_size))
+        out = step_forward(PARAMS, cfg, emb, cache, jnp.int32(0), jnp.int32(4),
+                           compute_lm_logits=False)
+        assert out.last_logits is None
+
+    def test_padded_step_matches_exact(self):
+        """Bucket-padded step must produce identical scores to exact-size step."""
+        cfg = CFG.replace(v_placeholder_id=CFG.text.vocab_size - 1)
+        H = cfg.text.hidden_size
+        emb = jax.random.normal(jax.random.PRNGKey(10), (1, 5, H)) * 0.02
+        cache1 = init_kv_cache(cfg.text, 1, 64, dtype=jnp.float32)
+        out1 = step_forward(PARAMS, cfg, emb, cache1, jnp.int32(0), jnp.int32(5))
+        cache2 = init_kv_cache(cfg.text, 1, 64, dtype=jnp.float32)
+        padded = jnp.concatenate([emb, jnp.zeros((1, 3, H))], axis=1)
+        out2 = step_forward(PARAMS, cfg, padded, cache2, jnp.int32(0), jnp.int32(5))
+        np.testing.assert_allclose(
+            float(out1.informative_prob[0]), float(out2.informative_prob[0]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out1.last_logits), np.asarray(out2.last_logits), atol=1e-4)
