@@ -1,0 +1,170 @@
+"""Benchmark streaming-inference CLI.
+
+TPU rebuild of `python -m test.inference` (reference
+`test/inference.py:332-380`): streams every eval sample through the
+LiveInferEngine and writes one JSONL line per sample with the
+reference-compatible schema::
+
+    {"question_id": ..., "model_response_list": [...],
+     "video_duration": ..., "debug_data": [{"time":..,
+     "informative_score":.., "relevance_score":..}, ...]}
+
+plus (new) a ``latency`` block with p50/p90 per-frame score latency — the
+tracing hook the reference lacks (SURVEY.md §5.1).
+
+Usage:
+    python -m mmduet_tpu.eval.inference --checkpoint <dir> \
+        --test_fname data.json --input_dir videos/ --output_fname out.jsonl \
+        --frame_fps 2 --max_num_frames 400 --stream_end_prob_threshold 0.5
+
+For smoke-testing without a checkpoint: ``--tiny_random`` builds a tiny
+random-weight model with the char tokenizer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def round_floats(o, n: int = 3):
+    if isinstance(o, float):
+        return round(o, n)
+    if isinstance(o, list):
+        return [round_floats(x, n) for x in o]
+    if isinstance(o, dict):
+        return {k: round_floats(v, n) for k, v in o.items()}
+    return o
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    from ..config import DEFAULT_SYSTEM_PROMPT
+
+    p = argparse.ArgumentParser(description="MMDuet-TPU streaming inference")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--tiny_random", action="store_true",
+                   help="tiny random-weight model (smoke tests)")
+    p.add_argument("--test_fname", type=str, required=True)
+    p.add_argument("--input_dir", type=str, required=True)
+    p.add_argument("--output_fname", type=str, required=True)
+    p.add_argument("--frame_fps", type=float, default=2.0)
+    p.add_argument("--frame_resolution", type=int, default=384)
+    p.add_argument("--max_num_frames", type=int, default=400)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--end_idx", type=int, default=None)
+    p.add_argument("--system_prompt", type=str, default=DEFAULT_SYSTEM_PROMPT)
+    p.add_argument("--grounding_mode", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--stream_end_prob_threshold", type=float, default=None)
+    p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
+    p.add_argument("--threshold_z", type=float, default=None)
+    p.add_argument("--first_n_frames_no_generate", type=int, default=0)
+    p.add_argument("--running_list_length", type=int, default=20)
+    p.add_argument("--score_heads", type=str, default="informative_score")
+    p.add_argument("--remove_assistant_turns", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--repetition_penalty", type=float, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=200)
+    p.add_argument("--time_instruction_format", type=str, default=None)
+    p.add_argument("--no_prefetch", action="store_true")
+    return p
+
+
+def build_engine(args):
+    import jax
+
+    from ..config import TestArgs, tiny_config
+    from ..infer import LiveInferEngine
+    from ..models import init_mmduet_params
+    from ..models.io import load_checkpoint
+    from ..stream import CharTokenizer, HFTokenizerAdapter
+
+    lora = None
+    if args.tiny_random:
+        cfg = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
+        params = init_mmduet_params(jax.random.PRNGKey(0), cfg)
+        tokenizer = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    elif args.checkpoint:
+        cfg, params, lora = load_checkpoint(args.checkpoint)
+        tokenizer = HFTokenizerAdapter.from_pretrained(
+            args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
+            v_placeholder=cfg.v_placeholder,
+        )
+    else:
+        raise SystemExit("one of --checkpoint or --tiny_random is required")
+
+    test_args = TestArgs(
+        system_prompt=args.system_prompt,
+        frame_fps=args.frame_fps,
+        frame_resolution=args.frame_resolution,
+        max_num_frames=args.max_num_frames,
+        grounding_mode=args.grounding_mode,
+        stream_end_prob_threshold=args.stream_end_prob_threshold,
+        stream_end_score_sum_threshold=args.stream_end_score_sum_threshold,
+        threshold_z=args.threshold_z,
+        first_n_frames_no_generate=args.first_n_frames_no_generate,
+        running_list_length=args.running_list_length,
+        score_heads=args.score_heads,
+        remove_assistant_turns=args.remove_assistant_turns,
+        repetition_penalty=args.repetition_penalty,
+        max_new_tokens=args.max_new_tokens,
+    )
+    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora)
+    return engine
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    from ..data.eval_dataset import StreamingEvalDataset
+
+    dataset = StreamingEvalDataset(
+        data_file=args.test_fname,
+        video_base_folder=args.input_dir,
+        start_idx=args.start_idx,
+        end_idx=args.end_idx,
+        output_fps=args.frame_fps,
+        output_resolution=args.frame_resolution,
+        max_num_frames=args.max_num_frames,
+        system_prompt=args.system_prompt,
+        time_instruction_format=args.time_instruction_format,
+    )
+    engine = build_engine(args)
+
+    n_done = 0
+    t_start = time.perf_counter()
+    samples = dataset if args.no_prefetch else dataset.prefetch()
+    with open(args.output_fname, "w") as f_out:
+        for i, sample in enumerate(samples):
+            if sample.frames is None:
+                print(f"skipping {sample.question_id}: {sample.error}", file=sys.stderr)
+                continue
+            engine.reset()
+            engine.set_fps(fps=sample.fps)
+            engine.input_video_stream(sample.frames)
+            engine.input_query_stream(sample.conversation)
+            responses = engine.inference()
+            lat = np.array(engine.frame_latencies_ms) if engine.frame_latencies_ms else np.array([0.0])
+            res = {
+                "question_id": sample.question_id,
+                "model_response_list": responses,
+                "video_duration": sample.video_duration,
+                "debug_data": round_floats(engine.debug_data_list, 3),
+                "latency": {
+                    "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                    "p90_ms": round(float(np.percentile(lat, 90)), 2),
+                    "frames": len(engine.frame_latencies_ms),
+                },
+            }
+            f_out.write(json.dumps(res) + "\n")
+            n_done += 1
+            if i % 5 == 0:
+                f_out.flush()
+    dt = time.perf_counter() - t_start
+    print(f"done: {n_done} samples in {dt:.1f}s -> {args.output_fname}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from .state import StreamState, pick_bucket, pad_chunk, DEFAULT_BUCKETS
+from .engine import LiveInferEngine

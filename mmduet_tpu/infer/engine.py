@@ -1,0 +1,411 @@
+"""LiveInferEngine — the streaming duet inference runtime on TPU.
+
+TPU-native rebuild of the reference `LiveInferForBenchmark`
+(`test/inference.py:20-313`) and `fast_greedy_generate`
+(`models/modeling_live.py:51-77`):
+
+- every forward runs at one of a few **static bucket shapes** against the
+  preallocated KV cache (no recompile storms as the stream grows);
+- **generation is a device-side `lax.while_loop`** — one kernel launch per
+  response instead of the reference's ≤200 python-loop forwards, with
+  repetition penalty and the cross-turn penalized-token set carried as a
+  device bitmask;
+- ``remove_assistant_turns`` is a **cursor rewind** (free) instead of the
+  reference's cache-object swap (`inference.py:265-269`);
+- frame embeddings stay **on device** end to end (the reference round-trips
+  every frame's embedding through CPU, `inference.py:212`);
+- all three threshold policies are active: single-frame prob, sum-reset,
+  and the z-score adaptive threshold (which the reference parses but only
+  supports in dead code — SURVEY.md §2.10(4));
+- a per-frame latency recorder (the tracing hook the reference lacks,
+  SURVEY.md §5.1).
+
+Protocol-parity quirks faithfully kept (they define the published numbers):
+the first stream chunk is ``[system tokens] + frames`` with no stream
+header, and after a kept assistant turn the next frame is joined with
+``[last generated token] + stream header`` (`inference.py:229-234`).
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MMDuetConfig, TestArgs
+from ..models import mmduet
+from ..models.qwen2 import KVCache, embed_tokens, init_kv_cache
+from .state import DEFAULT_BUCKETS, StreamState, pad_chunk, pick_bucket
+
+VISION_BATCH = 32
+
+
+class LiveInferEngine:
+    """Streaming inference over one video conversation at a time."""
+
+    def __init__(
+        self,
+        params,
+        cfg: MMDuetConfig,
+        tokenizer,
+        args: TestArgs,
+        lora=None,
+        lora_scale: float = 0.0,
+        kv_cache_size: Optional[int] = None,
+        dtype=None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.lora = lora
+        self.lora_scale = lora_scale
+        self.dtype = dtype or jax.tree.leaves(params)[0].dtype
+
+        n_set = sum(
+            x is not None
+            for x in (
+                args.stream_end_prob_threshold,
+                args.stream_end_score_sum_threshold,
+                args.threshold_z,
+            )
+        )
+        if n_set != 1:
+            raise ValueError(
+                "exactly one of stream_end_prob_threshold, "
+                "stream_end_score_sum_threshold, threshold_z must be set "
+                f"(got prob={args.stream_end_prob_threshold}, "
+                f"sum={args.stream_end_score_sum_threshold}, z={args.threshold_z})"
+            )
+        self.args = args
+        self.score_heads = args.score_heads.split(",")
+        self.grounding_mode = args.grounding_mode
+
+        # pre-tokenized incremental fragments (reference inference.py:61-63)
+        self._start_ids = tokenizer.apply_chat_template(
+            [{"role": "system", "content": args.system_prompt}], tokenize=True
+        )
+        self._stream_open_ids = tokenizer.encode(
+            f"\n{tokenizer.template.bos}stream\n"
+        )
+        self._gen_prompt_ids = tokenizer.encode(
+            f"{tokenizer.template.eos}\n{tokenizer.template.bos}assistant\n"
+        )
+
+        cache_size = kv_cache_size or (
+            args.max_num_frames * cfg.frame_num_tokens + 4096
+        )
+        self._cache_size = -(-cache_size // 128) * 128
+        self.set_fps(args.frame_fps)
+
+        # ---- jitted device functions ----
+        V = cfg.text.vocab_size
+
+        def _step(params, lora, embeds, k, v, cache_len, t_real, compute_lm):
+            out = mmduet.step_forward(
+                params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
+                lora=lora, lora_scale=lora_scale,
+                compute_lm_logits=compute_lm,
+            )
+            return (
+                out.informative_prob[0],
+                out.relevance_prob[0],
+                out.last_logits[0] if compute_lm else None,
+                out.kv_cache.k,
+                out.kv_cache.v,
+            )
+
+        self._step = jax.jit(
+            _step, static_argnames=("compute_lm",), donate_argnums=(3, 4)
+        )
+
+        max_new = args.max_new_tokens
+        rep = args.repetition_penalty
+        eos_id = tokenizer.eos_token_id
+
+        def _generate(params, lora, embeds, k, v, cache_len, t_real, pen_mask):
+            """Prefill the generation prompt then greedy-decode on device."""
+
+            def penalized(logits, mask):
+                if rep is None:
+                    return logits
+                pen = jnp.where(logits > 0, logits / rep, logits * rep)
+                return jnp.where(mask, pen, logits)
+
+            out = mmduet.step_forward(
+                params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
+                lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
+            )
+            cache = out.kv_cache
+            cursor = cache_len + t_real
+            out_buf = jnp.zeros((max_new,), jnp.int32)
+
+            tok0 = jnp.argmax(penalized(out.last_logits[0], pen_mask)).astype(jnp.int32)
+            out_buf = out_buf.at[0].set(tok0)
+            done0 = tok0 == eos_id
+            pen_mask = jnp.where(done0, pen_mask, pen_mask.at[tok0].set(True))
+
+            def cond(s):
+                return (~s[5]) & (s[4] < max_new)
+
+            def body(s):
+                cache, cursor, last_tok, buf, i, done, mask = s
+                emb = embed_tokens(params["decoder"], last_tok[None, None], V)
+                o = mmduet.step_forward(
+                    params, cfg, emb, cache, cursor, jnp.int32(1),
+                    lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
+                )
+                tok = jnp.argmax(penalized(o.last_logits[0], mask)).astype(jnp.int32)
+                buf = buf.at[i].set(tok)
+                mask = jnp.where(tok == eos_id, mask, mask.at[tok].set(True))
+                return (o.kv_cache, cursor + 1, tok, buf, i + 1, tok == eos_id, mask)
+
+            cache, cursor, _, out_buf, n, _, pen_mask = jax.lax.while_loop(
+                cond, body, (cache, cursor, tok0, out_buf, 1, done0, pen_mask)
+            )
+            return out_buf, n, cache.k, cache.v, cursor, pen_mask
+
+        self._generate = jax.jit(_generate, donate_argnums=(3, 4))
+
+        @jax.jit
+        def _visual(params, pixels_u8):
+            from ..models.siglip import normalize_pixels
+
+            px = normalize_pixels(pixels_u8).astype(self.dtype)
+            return mmduet.visual_embed(params, cfg, px)
+
+        self._visual = _visual
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # session control
+    # ------------------------------------------------------------------
+
+    def set_fps(self, fps: Optional[float] = None, frame_interval: Optional[float] = None):
+        assert (fps is None) != (frame_interval is None)
+        self.frame_fps = fps if fps is not None else 1.0 / frame_interval
+        self.frame_interval = 1.0 / self.frame_fps
+
+    def reset(self):
+        self.state = StreamState(
+            init_kv_cache(self.cfg.text, 1, self._cache_size, self.dtype)
+        )
+        self.query_queue = collections.deque()
+        self.frame_embeds = None  # (T, frame_tokens, H) device array
+        self.frame_times: List[float] = []
+        self._next_frame = 0
+        self.video_time = 0.0
+        self.frame_idx = 0
+        self.last_role = "system"
+        self._pending_ids: List[int] = []
+        self.debug_data_list: List[Dict[str, Any]] = []
+        self.frame_latencies_ms: List[float] = []
+        self.num_frames_no_reply = 0
+        self.stream_end_prob_list: List[float] = []
+        self.stream_end_score_sum = 0.0
+        self._pen_mask = jnp.zeros((self.cfg.text.vocab_size,), bool)
+
+    # ------------------------------------------------------------------
+    # inputs
+    # ------------------------------------------------------------------
+
+    def input_video_stream(self, video_frames) -> None:
+        """Encode all frames on device, batched (reference batches 32 on GPU
+        then copies each frame to CPU, `inference.py:196-214`; we keep the
+        embeddings resident in HBM)."""
+        if isinstance(video_frames, (list, tuple)):
+            video_frames = np.stack(video_frames)
+        video_frames = np.asarray(video_frames)
+        if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
+            raise ValueError(f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}")
+        T = video_frames.shape[0]
+        chunks = []
+        for i in range(0, T, VISION_BATCH):
+            batch = video_frames[i : i + VISION_BATCH]
+            n = batch.shape[0]
+            if n < VISION_BATCH:  # pad to the single compiled batch shape
+                batch = np.concatenate(
+                    [batch, np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype)]
+                )
+            chunks.append(self._visual(self.params, jnp.asarray(batch))[:n])
+        self.frame_embeds = jnp.concatenate(chunks, axis=0)
+        self.frame_times = [i / self.frame_fps for i in range(T)]
+        self._next_frame = 0
+
+    def input_frame_embeds(self, frame_embeds: jnp.ndarray) -> None:
+        """Pre-extracted features path (reference supports feature files)."""
+        self.frame_embeds = jnp.asarray(frame_embeds, self.dtype)
+        self.frame_times = [i / self.frame_fps for i in range(len(frame_embeds))]
+        self._next_frame = 0
+
+    def input_query_stream(self, conversation: Sequence[dict]) -> None:
+        for turn in conversation:
+            if turn["role"] == "user":
+                self.query_queue.append((turn["time"], turn["content"]))
+
+    # ------------------------------------------------------------------
+    # device feeding
+    # ------------------------------------------------------------------
+
+    def _embed_ids(self, ids: Sequence[int]) -> jnp.ndarray:
+        return embed_tokens(
+            self.params["decoder"],
+            jnp.asarray(ids, jnp.int32),
+            self.cfg.text.vocab_size,
+        ).astype(self.dtype)
+
+    def _feed(self, embeds: jnp.ndarray, compute_lm: bool = False):
+        """Feed a (T,H) chunk: bucket-pad, run one step, advance cursor."""
+        t_real = embeds.shape[0]
+        self.state.check_fits(t_real)
+        bucket = pick_bucket(t_real)
+        embeds = pad_chunk(embeds, bucket)
+        inf, rel, logits, k, v = self._step(
+            self.params, self.lora, embeds,
+            self.state.kv_cache.k, self.state.kv_cache.v,
+            jnp.int32(self.state.cursor), jnp.int32(t_real),
+            compute_lm=compute_lm,
+        )
+        self.state.kv_cache = KVCache(k, v)
+        self.state.cursor += t_real
+        return inf, rel, logits
+
+    def _frame_joiner_ids(self) -> List[int]:
+        """Token ids to prepend to the next frame chunk (reference
+        `inference.py:229-234` semantics)."""
+        if self.state.cursor == 0:
+            return list(self._start_ids)
+        if self.last_role == "assistant" and not self.args.remove_assistant_turns:
+            joiner = list(self._pending_ids) + list(self._stream_open_ids)
+            self._pending_ids = []
+            return joiner
+        return []
+
+    def _encode_frame(self) -> Optional[Dict[str, float]]:
+        if self.frame_embeds is None or self._next_frame >= len(self.frame_times):
+            return None
+        t0 = time.perf_counter()
+        idx = self._next_frame
+        self._next_frame += 1
+        joiner = self._frame_joiner_ids()
+        frame = self.frame_embeds[idx]
+        chunk = (
+            jnp.concatenate([self._embed_ids(joiner), frame], axis=0)
+            if joiner
+            else frame
+        )
+        inf, rel, _ = self._feed(chunk)
+        inf, rel = float(inf), float(rel)  # host sync: 2 scalars
+        self.frame_latencies_ms.append((time.perf_counter() - t0) * 1000)
+        self.frame_idx += 1
+        self.num_frames_no_reply += 1
+        self.last_role = "stream"
+        return {"informative_score": inf, "relevance_score": rel}
+
+    def _encode_query(self) -> None:
+        _, query = self.query_queue.popleft()
+        ids = self.tokenizer.apply_chat_template(
+            [{"role": "user", "content": query}],
+            tokenize=True,
+            add_stream_query_prompt=self.last_role == "stream",
+            add_stream_prompt=True,
+        )
+        self._feed(self._embed_ids(ids))
+        self.last_role = "user"
+
+    def _generate_response(self) -> str:
+        gen_embeds = self._embed_ids(self._gen_prompt_ids)
+        t_real = gen_embeds.shape[0]
+        self.state.check_fits(t_real + self.args.max_new_tokens)
+        pre_gen_cursor = self.state.cursor
+        out_buf, n, k, v, cursor, pen_mask = self._generate(
+            self.params, self.lora, gen_embeds,
+            self.state.kv_cache.k, self.state.kv_cache.v,
+            jnp.int32(pre_gen_cursor), jnp.int32(t_real), self._pen_mask,
+        )
+        self.state.kv_cache = KVCache(k, v)
+        self._pen_mask = pen_mask
+        n = int(n)
+        token_ids = np.asarray(out_buf)[:n]
+        if self.args.remove_assistant_turns:
+            # rewind: keep the pre-response stream context only
+            self.state.cursor = pre_gen_cursor
+            self._pending_ids = []
+        else:
+            self.state.cursor = int(cursor)
+            self._pending_ids = [int(token_ids[-1])] if n else []
+        response = self.tokenizer.decode(token_ids, skip_special_tokens=True)
+        self.num_frames_no_reply = 0
+        self.last_role = "assistant"
+        return response
+
+    # ------------------------------------------------------------------
+    # the streaming loop (reference inference.py:276-313)
+    # ------------------------------------------------------------------
+
+    def _threshold_triggered(self, stream_end_score: float) -> bool:
+        a = self.args
+        if a.threshold_z is not None:
+            # adaptive: mean + z*std of the rolling window (computed BEFORE
+            # appending the current score — reference inference.py:144-156)
+            if len(self.stream_end_prob_list) < (a.first_n_frames_no_generate or 0):
+                thr = float("inf")
+            else:
+                lst = self.stream_end_prob_list
+                thr = (
+                    (np.mean(lst) + a.threshold_z * np.std(lst))
+                    if lst
+                    else float("inf")
+                )
+            self._append_score(stream_end_score)
+            return stream_end_score > thr
+        self._append_score(stream_end_score)
+        self.stream_end_score_sum += stream_end_score
+        if (
+            a.stream_end_score_sum_threshold is not None
+            and self.stream_end_score_sum > a.stream_end_score_sum_threshold
+        ):
+            self.stream_end_score_sum = 0.0
+            return True
+        if (
+            a.stream_end_prob_threshold is not None
+            and stream_end_score > a.stream_end_prob_threshold
+        ):
+            return True
+        return False
+
+    def _append_score(self, s: float) -> None:
+        self.stream_end_prob_list.append(s)
+        rl = self.args.running_list_length
+        if isinstance(rl, int) and rl > 0:
+            self.stream_end_prob_list = self.stream_end_prob_list[-rl:]
+
+    def inference(self) -> List[Dict[str, Any]]:
+        """Stream all frames; returns the time-sorted response list in the
+        reference's JSONL schema."""
+        responses = [
+            {"time": t, "content": q, "role": "user"} for t, q in self.query_queue
+        ]
+        while self._next_frame < len(self.frame_times):
+            if self.query_queue and self.video_time >= self.query_queue[0][0]:
+                self._encode_query()
+
+            scores = self._encode_frame()
+            self.debug_data_list.append(dict(time=self.video_time, **scores))
+
+            stream_end_score = sum(
+                v for k, v in scores.items() if k in self.score_heads
+            )
+            need_response = self._threshold_triggered(stream_end_score)
+
+            if need_response and not self.grounding_mode:
+                response = self._generate_response()
+                responses.append(
+                    {"time": self.video_time, "content": response, "role": "assistant"}
+                )
+            self.video_time += self.frame_interval
+        return sorted(responses, key=lambda x: x["time"])

@@ -1,0 +1,169 @@
+"""Streaming inference engine tests (tiny model, CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmduet_tpu.config import TestArgs as InferArgs, tiny_config
+from mmduet_tpu.infer import LiveInferEngine, pick_bucket
+from mmduet_tpu.models import init_mmduet_params
+from mmduet_tpu.stream import CharTokenizer
+
+CFG = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
+TOK = CharTokenizer(frame_num_tokens=CFG.frame_num_tokens)
+PARAMS = init_mmduet_params(jax.random.PRNGKey(0), CFG)
+
+
+def make_args(**kw) -> InferArgs:
+    base = dict(
+        system_prompt="sys",
+        frame_fps=2.0,
+        stream_end_prob_threshold=None,
+        stream_end_score_sum_threshold=None,
+        threshold_z=None,
+        max_new_tokens=8,
+        max_num_frames=16,
+    )
+    base.update(kw)
+    return InferArgs(**base)
+
+
+def make_engine(**kw) -> LiveInferEngine:
+    return LiveInferEngine(PARAMS, CFG, TOK, make_args(**kw), kv_cache_size=512)
+
+
+FRAMES = (np.random.RandomState(0).rand(6, 32, 32, 3) * 255).astype(np.uint8)
+
+
+def test_pick_bucket():
+    assert pick_bucket(1) == 8
+    assert pick_bucket(8) == 8
+    assert pick_bucket(9) == 16
+    assert pick_bucket(300) == 512
+
+
+def test_exactly_one_threshold_required():
+    with pytest.raises(ValueError):
+        make_engine()
+    with pytest.raises(ValueError):
+        make_engine(stream_end_prob_threshold=0.5, threshold_z=2.0)
+
+
+class TestStreamingLoop:
+    def test_grounding_mode_scores_only(self):
+        eng = make_engine(stream_end_prob_threshold=1.0, grounding_mode=True)
+        eng.input_video_stream(FRAMES)
+        responses = eng.inference()
+        assert responses == []
+        assert len(eng.debug_data_list) == 6
+        for i, d in enumerate(eng.debug_data_list):
+            assert set(d) == {"time", "informative_score", "relevance_score"}
+            assert abs(d["time"] - i * 0.5) < 1e-9
+            assert 0.0 <= d["informative_score"] <= 1.0
+        assert len(eng.frame_latencies_ms) == 6
+
+    def test_prob_threshold_triggers_generation(self):
+        eng = make_engine(stream_end_prob_threshold=-1.0)  # always trigger
+        eng.input_video_stream(FRAMES)
+        responses = eng.inference()
+        assistant = [r for r in responses if r["role"] == "assistant"]
+        assert len(assistant) == 6  # every frame triggers
+        assert all(isinstance(r["content"], str) for r in assistant)
+
+    def test_sum_threshold_resets(self):
+        eng = make_engine(stream_end_score_sum_threshold=1000.0)
+        eng.input_video_stream(FRAMES)
+        responses = eng.inference()
+        assert [r for r in responses if r["role"] == "assistant"] == []
+        # sum accumulated but never tripped
+        assert eng.stream_end_score_sum > 0
+
+    def test_z_threshold_mode_runs(self):
+        eng = make_engine(threshold_z=1.5, first_n_frames_no_generate=2)
+        eng.input_video_stream(FRAMES)
+        responses = eng.inference()
+        assert len(eng.debug_data_list) == 6
+        assert len(eng.stream_end_prob_list) <= eng.args.running_list_length
+
+    def test_query_encoded_at_time(self):
+        eng = make_engine(stream_end_prob_threshold=1.0)
+        eng.input_video_stream(FRAMES)
+        eng.input_query_stream([{"role": "user", "content": "Q?", "time": 1.0}])
+        responses = eng.inference()
+        users = [r for r in responses if r["role"] == "user"]
+        assert users == [{"time": 1.0, "content": "Q?", "role": "user"}]
+        # query consumed mid-stream
+        assert not eng.query_queue
+
+    def test_remove_assistant_turns_rewinds_cursor(self):
+        kept = make_engine(stream_end_prob_threshold=-1.0, remove_assistant_turns=False)
+        kept.input_video_stream(FRAMES)
+        kept.inference()
+        removed = make_engine(stream_end_prob_threshold=-1.0, remove_assistant_turns=True)
+        removed.input_video_stream(FRAMES)
+        removed.inference()
+        assert removed.state.cursor < kept.state.cursor
+        # removed cursor = start_ids + 6 frames exactly
+        expected = len(kept._start_ids) + 6 * CFG.frame_num_tokens
+        assert removed.state.cursor == expected
+
+    def test_reset_reusable(self):
+        eng = make_engine(stream_end_prob_threshold=1.0, grounding_mode=True)
+        eng.input_video_stream(FRAMES)
+        first = [d["informative_score"] for d in (eng.inference(), eng.debug_data_list)[1]]
+        eng.reset()
+        eng.input_video_stream(FRAMES)
+        eng.inference()
+        second = [d["informative_score"] for d in eng.debug_data_list]
+        np.testing.assert_allclose(first, second, atol=1e-5)
+
+    def test_cache_overflow_raises(self):
+        eng = LiveInferEngine(
+            PARAMS, CFG, TOK,
+            make_args(stream_end_prob_threshold=1.0, grounding_mode=True),
+            kv_cache_size=40,
+        )
+        # capacity rounds up to 128; 40 frames * 4 tokens + start ids > 128
+        big = (np.random.RandomState(1).rand(40, 32, 32, 3) * 255).astype(np.uint8)
+        eng.input_video_stream(big)
+        with pytest.raises(RuntimeError, match="overflow"):
+            eng.inference()
+
+
+class TestGeneration:
+    def test_generation_deterministic_and_bounded(self):
+        eng = make_engine(stream_end_prob_threshold=-1.0, max_new_tokens=5)
+        eng.input_video_stream(FRAMES[:2])
+        r1 = eng.inference()
+        eng.reset()
+        eng.input_video_stream(FRAMES[:2])
+        r2 = eng.inference()
+        c1 = [r["content"] for r in r1 if r["role"] == "assistant"]
+        c2 = [r["content"] for r in r2 if r["role"] == "assistant"]
+        assert c1 == c2
+        assert all(len(TOK.encode(c)) <= 5 for c in c1)
+
+    def test_repetition_penalty_changes_output(self):
+        plain = make_engine(stream_end_prob_threshold=-1.0, max_new_tokens=8)
+        plain.input_video_stream(FRAMES[:3])
+        r_plain = [r["content"] for r in plain.inference() if r["role"] == "assistant"]
+
+        pen = make_engine(
+            stream_end_prob_threshold=-1.0, max_new_tokens=8, repetition_penalty=1000.0
+        )
+        pen.input_video_stream(FRAMES[:3])
+        r_pen = [r["content"] for r in pen.inference() if r["role"] == "assistant"]
+        # with an extreme penalty, later responses can't repeat earlier tokens
+        assert r_plain != r_pen
+
+    def test_pre_extracted_features_path(self):
+        eng = make_engine(stream_end_prob_threshold=1.0, grounding_mode=True)
+        fe = jax.random.normal(
+            jax.random.PRNGKey(3), (4, CFG.frame_num_tokens, CFG.text.hidden_size)
+        ) * 0.02
+        eng.input_frame_embeds(fe)
+        eng.inference()
+        assert len(eng.debug_data_list) == 4
