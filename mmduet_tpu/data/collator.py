@@ -1,0 +1,123 @@
+"""Training collator: duet samples → static-shape TPU batches.
+
+Rebuild of `data_collator_with_video_labels`
+(`data/data_collator.py:7-52`): tokenize with char offsets, convert learn
+ranges to PRE-SHIFTED LM labels, attach per-frame informative/relevance
+labels to the last ``<image>`` token of each frame.
+
+TPU-first differences:
+- **right padding** to a FIXED (seq_len, num_frames) shape — every batch
+  compiles once (the reference left-pads to the longest-in-batch, a new
+  shape every step);
+- frames ride as uint8 pixels (vision encode happens on device inside the
+  train step) or as pre-extracted features;
+- overlong samples are truncated at a frame boundary, never mid-frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..stream.labels import (
+    IGNORE_INDEX,
+    char_ranges_to_token_labels,
+    scatter_frame_labels,
+)
+
+
+@dataclass
+class Collator:
+    tokenizer: object
+    seq_len: int  # fixed padded sequence length
+    max_frames: int  # fixed padded frame count (across the whole batch)
+    frame_size: Optional[int] = None  # None → samples carry vision feats
+
+    def __call__(self, samples: Sequence[tuple]) -> Dict[str, np.ndarray]:
+        tok = self.tokenizer
+        ft = tok.template.frame_num_tokens
+        vid = tok.v_placeholder_id
+        B = len(samples)
+
+        ids_list, labels_list, inf_list, rel_list, nreal = [], [], [], [], []
+        all_frames: List[np.ndarray] = []
+        sample_idxs = []
+        for text, frames, learn_ranges, inf, rel, idx in samples:
+            ids, offsets = tok.encode_with_offsets(text)
+            ids = np.asarray(ids, np.int32)
+            labels = char_ranges_to_token_labels(ids, offsets, learn_ranges)
+            inf_tok = scatter_frame_labels(ids, vid, ft, inf)
+            rel_tok = scatter_frame_labels(ids, vid, ft, rel)
+            if len(ids) > self.seq_len:
+                raise ValueError(
+                    f"sample length {len(ids)} exceeds collator seq_len "
+                    f"{self.seq_len}; raise seq_len or lower max_num_frames"
+                )
+            ids_list.append(ids)
+            labels_list.append(labels)
+            inf_list.append(inf_tok)
+            rel_list.append(rel_tok)
+            nreal.append(len(ids))
+            if frames is not None and len(frames):
+                all_frames.append(np.asarray(frames))
+            sample_idxs.append(idx)
+
+        L = self.seq_len
+        pad_id = tok.pad_token_id
+
+        def pad2(rows, fill):
+            out = np.full((B, L), fill, np.int32)
+            for i, r in enumerate(rows):
+                out[i, : len(r)] = r
+            return out
+
+        input_ids = pad2(ids_list, pad_id)
+        attn_mask = np.zeros((B, L), bool)
+        for i, n in enumerate(nreal):
+            attn_mask[i, :n] = True
+
+        batch = {
+            "input_ids": input_ids,
+            "attn_mask": attn_mask,
+            "labels": pad2(labels_list, IGNORE_INDEX),
+            "informative_labels": pad2(inf_list, IGNORE_INDEX),
+            "relevance_labels": pad2(rel_list, IGNORE_INDEX),
+            "sample_idxs": np.asarray(sample_idxs, np.int32),
+        }
+
+        frames_cat = (
+            np.concatenate(all_frames)
+            if all_frames
+            else np.zeros((0, self.frame_size or 1, self.frame_size or 1, 3), np.uint8)
+        )
+        n_frames = len(frames_cat)
+        if n_frames > self.max_frames:
+            raise ValueError(
+                f"batch has {n_frames} frames > collator max_frames "
+                f"{self.max_frames}"
+            )
+        # pad the frame axis to the fixed count; padded frames are never
+        # gathered (joint_embed's cumsum stops at the real placeholders)
+        if frames_cat.ndim == 4:  # raw pixels
+            padded = np.zeros(
+                (self.max_frames, *frames_cat.shape[1:]), frames_cat.dtype
+            )
+            padded[:n_frames] = frames_cat
+            batch["frames"] = padded
+        else:  # pre-extracted vision features (N, P, C)
+            padded = np.zeros(
+                (self.max_frames, *frames_cat.shape[1:]), frames_cat.dtype
+            )
+            padded[:n_frames] = frames_cat
+            batch["vision_feats"] = padded
+        batch["num_frames"] = np.asarray(n_frames, np.int32)
+        return batch
+
+
+def stack_accum(batches: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack A collated micro-batches into the (A, ...) layout the jitted
+    train step scans over."""
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches]) for k in keys}

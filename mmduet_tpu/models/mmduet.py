@@ -45,7 +45,9 @@ def init_mmduet_params(rng: jax.Array, cfg: MMDuetConfig, dtype=jnp.float32) -> 
     vh = cfg.vision.hidden_size
 
     def dense(key, shape):
-        return (jax.random.normal(key, shape) / np.sqrt(shape[0])).astype(dtype)
+        return jax.random.normal(key, shape, dtype) / jnp.asarray(
+            np.sqrt(shape[0]), dtype
+        )
 
     return {
         "decoder": qwen2.init_qwen2_params(k1, cfg.text, dtype),

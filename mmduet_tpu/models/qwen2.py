@@ -75,8 +75,9 @@ def init_qwen2_params(
     L = cfg.num_layers
 
     def dense(key, shape, scale=None):
+        # generate directly in target dtype: no f32 staging peak at 7B scale
         scale = scale if scale is not None else 1.0 / np.sqrt(shape[-2])
-        return (jax.random.normal(key, shape) * scale).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(scale, dtype)
 
     layers = {
         "input_norm": jnp.ones((L, h), dtype),

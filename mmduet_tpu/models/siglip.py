@@ -30,7 +30,9 @@ def init_siglip_params(rng: jax.Array, cfg: SiglipConfig, dtype=jnp.float32) -> 
     patch_dim = 3 * cfg.patch_size**2
 
     def dense(key, shape):
-        return (jax.random.normal(key, shape) / np.sqrt(shape[-2])).astype(dtype)
+        return jax.random.normal(key, shape, dtype) / jnp.asarray(
+            np.sqrt(shape[-2]), dtype
+        )
 
     layers = {
         "ln1_scale": jnp.ones((L, h), dtype),

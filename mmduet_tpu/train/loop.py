@@ -1,0 +1,247 @@
+"""Training driver CLI: LoRA fine-tuning of MMDuet on a device mesh.
+
+Rebuild of the reference train path (`train.py:28-56` + torchrun +
+DeepSpeed, SURVEY.md §3.1) as a single SPMD program:
+
+    python -m mmduet_tpu.train.loop --dataset_config configs/datasets/x.json \
+        --checkpoint <base-ckpt-dir> --output_dir outputs/run1 ...
+
+Smoke mode (no checkpoint / no videos):
+    python -m mmduet_tpu.train.loop --tiny_random --synthetic_steps 5 ...
+
+Per optimizer step the driver collates ``grad_accum_steps`` micro-batches
+into one (A, B, T) array set and calls the jitted step (which scans the
+accumulation on device). Metrics stream to stdout + ``<output>/log.jsonl``
+(the reference reports to tensorboard, `train.sh:15`; JSONL is the
+dependency-free equivalent and tensorboard can ingest it offline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MMDuet-TPU training")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="base model checkpoint dir (config.json + params)")
+    p.add_argument("--tiny_random", action="store_true")
+    p.add_argument("--dataset_config", type=str, default=None)
+    p.add_argument("--synthetic_steps", type=int, default=0,
+                   help="train on synthetic random batches (smoke mode)")
+    p.add_argument("--output_dir", type=str, default="outputs/debug")
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--lr_schedule", type=str, default="cosine")
+    p.add_argument("--warmup_ratio", type=float, default=0.05)
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--per_device_batch_size", type=int, default=1)
+    p.add_argument("--grad_accum_steps", type=int, default=16)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32)
+    p.add_argument("--frame_fps", type=float, default=2.0)
+    p.add_argument("--max_num_frames", type=int, default=100)
+    p.add_argument("--seq_len", type=int, default=None,
+                   help="fixed padded seq len (default: derived)")
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--save_total_limit", type=int, default=5)
+    p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--mesh_data", type=int, default=None)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", type=lambda s: s.lower() == "true", default=True)
+    return p
+
+
+def synthetic_batches(cfg, collator_seq_len, max_frames, B, A, steps, seed=0):
+    """Random duet-shaped batches for smoke training."""
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(seed)
+    ft = cfg.frame_num_tokens
+    vid = cfg.v_placeholder_id
+    T = collator_seq_len
+    for _ in range(steps):
+        ids = r.randint(0, min(200, cfg.text.vocab_size - 2), (A, B, T))
+        ids[:, :, 2 : 2 + ft] = vid
+        labels = np.full((A, B, T), -100)
+        labels[:, :, 10:20] = ids[:, :, 10:20]
+        inf = np.full((A, B, T), -100)
+        inf[:, :, 2 + ft - 1] = r.randint(0, 2, (A, B))
+        yield {
+            "input_ids": ids.astype(np.int32),
+            "attn_mask": np.ones((A, B, T), bool),
+            "labels": labels.astype(np.int32),
+            "informative_labels": inf.astype(np.int32),
+            "relevance_labels": np.full((A, B, T), -100, np.int32),
+            "vision_feats": r.randn(
+                A, B, cfg.vision.num_patches, cfg.vision.hidden_size
+            ).astype(np.float32),
+        }
+
+
+def real_batches(dataset, collator, B, A, epochs, seed):
+    """Shuffled epoch iteration → accumulated batches."""
+    from ..data.collator import stack_accum
+
+    order = list(range(len(dataset)))
+    rng = random.Random(seed)
+    for _ in range(epochs):
+        rng.shuffle(order)
+        micro, accum = [], []
+        for idx in order:
+            micro.append(dataset[idx])
+            if len(micro) == B:
+                accum.append(collator(micro))
+                micro = []
+            if len(accum) == A:
+                yield stack_accum(accum)
+                accum = []
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import TrainArgs, tiny_config
+    from ..models import init_mmduet_params
+    from ..models.io import load_checkpoint, save_checkpoint
+    from ..models.lora import init_lora
+    from ..parallel import batch_shardings, make_mesh, param_shardings, shard_params
+    from ..stream import CharTokenizer, HFTokenizerAdapter
+    from ..train import init_train_state, make_optimizer, make_train_step
+    from .checkpoint import latest_checkpoint, restore_train_state, save_train_state
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    np.random.seed(args.seed)
+    random.seed(args.seed)
+
+    # --- model -----------------------------------------------------------
+    if args.tiny_random:
+        cfg = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
+        params = init_mmduet_params(jax.random.PRNGKey(args.seed), cfg)
+        tokenizer = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    elif args.checkpoint:
+        cfg, params, _ = load_checkpoint(args.checkpoint)
+        tokenizer = HFTokenizerAdapter.from_pretrained(
+            args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
+            v_placeholder=cfg.v_placeholder,
+        )
+    else:
+        raise SystemExit("one of --checkpoint or --tiny_random is required")
+
+    # --- mesh & sharding -------------------------------------------------
+    n_dev = len(jax.devices())
+    data_n = args.mesh_data or (n_dev // args.mesh_model)
+    mesh = make_mesh((data_n, args.mesh_model))
+    params = shard_params(params, mesh, mode="replicate")
+
+    # --- data ------------------------------------------------------------
+    train_args = TrainArgs(
+        learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        warmup_ratio=args.warmup_ratio,
+        lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha,
+        grad_accum_steps=args.grad_accum_steps,
+        per_device_batch_size=args.per_device_batch_size,
+        frame_fps=args.frame_fps,
+        max_num_frames=args.max_num_frames,
+        output_dir=args.output_dir,
+    )
+    B = args.per_device_batch_size * data_n
+    A = args.grad_accum_steps
+    seq_len = args.seq_len or (
+        args.max_num_frames * cfg.frame_num_tokens + 1024
+    )
+
+    if args.synthetic_steps:
+        total_steps = args.synthetic_steps
+        batches: Iterator = synthetic_batches(
+            cfg, min(seq_len, 64), args.max_num_frames, B, A, total_steps,
+            args.seed,
+        )
+    else:
+        from ..data.collator import Collator
+        from ..data.stream_dataset import build_concat_train_dataset
+
+        dataset = build_concat_train_dataset(
+            args.dataset_config, tokenizer,
+            frame_fps=args.frame_fps, max_num_frames=args.max_num_frames,
+        )
+        collator = Collator(
+            tokenizer, seq_len=seq_len,
+            max_frames=args.max_num_frames * B, frame_size=cfg.frame_resolution,
+        )
+        steps_per_epoch = len(dataset) // (B * A)
+        total_steps = steps_per_epoch * args.num_epochs
+        batches = real_batches(dataset, collator, B, A, args.num_epochs, args.seed)
+
+    # --- optimizer & state ----------------------------------------------
+    tx, sched = make_optimizer(train_args, total_steps)
+    lora = init_lora(jax.random.PRNGKey(args.seed + 1), cfg.text, rank=args.lora_r)
+    state = init_train_state(params, lora, tx)
+    state = jax.tree.map(
+        jax.device_put, state, jax.tree.map(lambda t: param_shardings(t, mesh), state)
+    )
+    resume = args.resume_from_checkpoint
+    if resume == "auto":
+        resume = latest_checkpoint(args.output_dir)
+    if resume:
+        print(f"resuming from {resume}")
+        state = restore_train_state(resume, state)
+    step_fn = make_train_step(cfg, train_args, tx, sched)
+
+    # --- loop ------------------------------------------------------------
+    log_path = os.path.join(args.output_dir, "log.jsonl")
+    log_f = open(log_path, "a")
+    t_last = time.perf_counter()
+    done = int(state.step)
+    for batch in batches:
+        if done >= total_steps:
+            break
+        batch = {k: v for k, v in batch.items() if k not in ("sample_idxs", "num_frames")}
+        batch = jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+        try:
+            state, metrics = step_fn(state, params, batch)
+        except Exception as e:  # fault tolerance (reference train.py:12-20)
+            print(f"step {done} failed: {type(e).__name__}: {e}; skipping")
+            continue
+        done = int(state.step)
+        if done % args.logging_steps == 0 or done == total_steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            rec = {"step": done, "total": total_steps,
+                   "sec_per_step": round(dt / max(args.logging_steps, 1), 3), **m}
+            print(json.dumps(rec))
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+        if args.save_steps and done % args.save_steps == 0:
+            path = save_train_state(
+                args.output_dir, done, jax.device_get(state), args.save_total_limit
+            )
+            print(f"saved {path}")
+
+    # final model save: fold trainable back into a full checkpoint
+    from ..train.optimizer import merge_trainable
+
+    final_params = merge_trainable(jax.device_get(params), jax.device_get(state.trainable))
+    save_checkpoint(
+        os.path.join(args.output_dir, "final"), cfg, final_params,
+        lora=jax.device_get(state.trainable["lora"]),
+    )
+    print(f"training done at step {done}; final model in {args.output_dir}/final")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""The pjit training step: grad-accumulation scan + non-finite-loss guard.
+
+TPU rebuild of the reference training hot loop (`train.py:28-56` + HF
+Trainer + DeepSpeed ZeRO-2, SURVEY.md §3.1):
+
+- **one jitted step consumes a whole accumulation window** — micro-batches
+  are scanned on device (`lax.scan`), gradients averaged in f32, a single
+  optimizer update at the end. The reference loops 16 python steps per
+  update (`train.sh:9`);
+- **SPMD over the (data, model) mesh** — batch sharded over ``data``;
+  XLA inserts the gradient psum/reduce-scatter (the NCCL allreduce
+  equivalent). Optimizer state is sharded over ``data`` (ZeRO-2);
+- the frozen SigLIP tower runs under ``stop_gradient`` inside the step;
+  projector + pooling stay inside the differentiated region (they are
+  trained, fixing the reference's frozen-connector ambiguity);
+- fault tolerance: a non-finite loss skips the update (params/opt state
+  kept) instead of the reference's dummy-0.0-loss hack
+  (`train.py:12-20`), which exists only to keep NCCL collectives aligned —
+  SPMD keeps collectives aligned by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import MMDuetConfig, TrainArgs
+from ..models import mmduet, siglip
+from ..models.lora import lora_scale
+from .optimizer import merge_trainable, trainable_params
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    trainable: Any
+    opt_state: Any
+
+
+def init_train_state(
+    params: Dict, lora: Any, tx: optax.GradientTransformation
+) -> TrainState:
+    trainable = trainable_params(params, lora)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+    )
+
+
+def _loss_fn(
+    trainable: Dict,
+    base_params: Dict,
+    cfg: MMDuetConfig,
+    micro: Dict,
+    scale: float,
+    remat: bool,
+) -> Tuple[jax.Array, Dict]:
+    params = merge_trainable(base_params, trainable)
+    frame_embeds = None
+    if "vision_feats" in micro:
+        feats = jax.lax.stop_gradient(micro["vision_feats"])
+        frame_embeds = mmduet.spatial_pool(mmduet.project(params, feats), cfg)
+    elif "frames" in micro:
+        px = siglip.normalize_pixels(micro["frames"]).astype(
+            params["projector"]["fc1"].dtype
+        )
+        feats = jax.lax.stop_gradient(
+            siglip.siglip_encode(base_params["vision"], cfg.vision, px)
+        )
+        frame_embeds = mmduet.spatial_pool(mmduet.project(params, feats), cfg)
+
+    out = mmduet.train_forward(
+        params,
+        cfg,
+        micro["input_ids"],
+        micro["attn_mask"],
+        frame_embeds,
+        micro["labels"],
+        micro["informative_labels"],
+        micro["relevance_labels"],
+        lora=trainable["lora"],
+        lora_scale=scale,
+        remat=remat,
+    )
+    metrics = {
+        "loss": out.loss,
+        "lm_loss": out.lm_loss,
+        "video_loss": out.video_loss,
+    }
+    return out.loss, metrics
+
+
+def make_train_step(
+    cfg: MMDuetConfig,
+    args: TrainArgs,
+    tx: optax.GradientTransformation,
+    lr_sched: Optional[optax.Schedule] = None,
+):
+    """Build the jitted step: ``(state, base_params, batch) -> (state, metrics)``.
+
+    ``batch`` leaves have a leading grad-accum dim A:
+    input_ids/attn_mask/labels/informative_labels/relevance_labels
+    (A, B, T) and optionally frames (A, N, H, W, 3) uint8 or
+    vision_feats (A, N, P, C).
+    """
+    scale = lora_scale(args.lora_r, args.lora_alpha)
+    remat = args.gradient_checkpointing
+
+    @jax.jit
+    def train_step(state: TrainState, base_params: Dict, batch: Dict):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+        def accum(carry, micro):
+            g_acc, m_acc = carry
+            (_, metrics), grads = grad_fn(
+                state.trainable, base_params, cfg, micro, scale, remat
+            )
+            g_acc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), g_acc, grads
+            )
+            m_acc = jax.tree.map(lambda a, m: a + m, m_acc, metrics)
+            return (g_acc, m_acc), None
+
+        zeros_g = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable
+        )
+        zeros_m = {"loss": 0.0, "lm_loss": 0.0, "video_loss": 0.0}
+        A = jax.tree.leaves(batch)[0].shape[0]
+        (grads, metrics), _ = jax.lax.scan(accum, (zeros_g, zeros_m), batch)
+        grads = jax.tree.map(lambda g: g / A, grads)
+        metrics = {k: v / A for k, v in metrics.items()}
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        # non-finite guard: skip the update, keep state
+        finite = jnp.isfinite(metrics["loss"])
+        new_trainable = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_trainable,
+            state.trainable,
+        )
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
+        if lr_sched is not None:
+            metrics["lr"] = lr_sched(state.step)
+        return (
+            TrainState(state.step + 1, new_trainable, new_opt),
+            metrics,
+        )
+
+    return train_step

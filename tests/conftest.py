@@ -6,7 +6,7 @@ multi-node simulation the reference never had (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402  (after env setup)
+
+# The environment's sitecustomize registers the TPU (axon) backend in every
+# process and overrides JAX_PLATFORMS from the env — force CPU at the
+# config level (must happen before the backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: XLA compiles of the scan-based models dominate
 # test wall-time; cache them across runs.

@@ -1,0 +1,203 @@
+"""Data pipeline tests: dataset converters, collator, video decode."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmduet_tpu.data.collator import Collator, stack_accum
+from mmduet_tpu.data.stream_dataset import (
+    ConcatStreamDataset,
+    DenseVideoCaptioningStreamDataset,
+    GroundingStreamDataset,
+    MAGQAStreamDataset,
+    StreamDataset,
+    sanitize_text,
+)
+from mmduet_tpu.data.time_utils import ceil_time_by_fps, floor_time_by_fps
+from mmduet_tpu.stream import CharTokenizer
+from mmduet_tpu.stream.labels import IGNORE_INDEX
+
+TOK = CharTokenizer(frame_num_tokens=3)
+
+
+def test_time_snapping():
+    assert ceil_time_by_fps(1.1, 2, 0, 100) == 1.5
+    assert ceil_time_by_fps(1.5, 2, 0, 100) == 1.5
+    assert floor_time_by_fps(1.9, 2, 0, 100) == 1.5
+    assert ceil_time_by_fps(150.0, 2, 0, 100) == 100  # clamped
+
+
+def test_sanitize_text():
+    assert sanitize_text("what does <image> mean") == "what does  mean"
+    assert sanitize_text("clean") == "clean"
+
+
+def _write(tmp_path, name, obj):
+    p = os.path.join(tmp_path, name)
+    with open(p, "w") as f:
+        json.dump(obj, f)
+    return p
+
+
+class TestDVCDataset(object):
+    ANNO = {
+        "vid1": {
+            "g1": [
+                {"text": "opens fridge", "time": 2.0, "timespan": [0.0, 2.0]},
+                {"text": "pours milk", "time": 4.0, "timespan": [2.0, 4.0]},
+            ]
+        }
+    }
+
+    def test_conversion(self, tmp_path):
+        ds = DenseVideoCaptioningStreamDataset.__new__(
+            DenseVideoCaptioningStreamDataset
+        )
+        ds.frame_fps = 2
+        ds.metadata = {"vid1": {"duration": 6.0}}
+        annos = ds.build_annos(self.ANNO)
+        assert len(annos) == 1
+        conv = annos[0]["conversation"]
+        roles = [m["role"] for m in conv]
+        assert roles == ["stream", "assistant", "stream", "assistant"]
+        assert conv[0]["num_frames"] == 4  # 2s * 2fps
+        assert conv[1]["content"] == "opens fridge"
+        # midpoint rule: span [0,2] → midpoint 1.0 → resp start 1.0 →
+        # (2.0-1.0)*2+1 = 3 response frames
+        assert conv[1]["response_frame_num"] == 3
+        assert annos[0]["load_ranges"]["vid1"] == range(0, 8)
+
+
+class TestGroundingDataset:
+    ANNO = [
+        {"video_uid": "vid1", "query": "a dog", "timestamps": [[1.0, 2.0]]},
+        {"video_uid": "missing", "query": "x", "timestamps": []},
+    ]
+
+    def test_conversion(self):
+        ds = GroundingStreamDataset.__new__(GroundingStreamDataset)
+        ds.frame_fps = 2
+        ds.metadata = {"vid1": {"duration": 3.0}}
+        annos = ds.build_annos(self.ANNO)
+        assert len(annos) == 1  # missing video filtered
+        conv = annos[0]["conversation"]
+        assert conv[0]["role"] == "user" and "a dog" in conv[0]["content"]
+        stream = conv[1]
+        assert stream["num_frames"] == 6
+        spans = stream["related"]
+        assert [(s["related"], s["num_frames"]) for s in spans] == [
+            (False, 2), (True, 2), (False, 2),
+        ]
+
+
+class TestMAGQADataset:
+    ANNO = [
+        {
+            "video_uid": "vid1",
+            "conversation": [
+                {"role": "user", "content": "what now?", "time": 1.0},
+                {
+                    "role": "assistant",
+                    "content": "a cat",
+                    "time": 3.0,
+                    "timespan": [1.0, 3.0],
+                },
+            ],
+        }
+    ]
+
+    def test_conversion(self):
+        import random
+
+        random.seed(0)
+        ds = MAGQAStreamDataset.__new__(MAGQAStreamDataset)
+        ds.frame_fps = 2
+        ds.metadata = {"vid1": {"duration": 5.0}}
+        annos = ds.build_annos(self.ANNO)
+        assert len(annos) == 1
+        conv = annos[0]["conversation"]
+        roles = [m["role"] for m in conv]
+        # optional waiting stream, then user, stream, assistant
+        assert roles[-3:] == ["user", "stream", "assistant"][-3:] or roles[-2:] == ["stream", "assistant"]
+        asst = conv[-1]
+        assert asst["content"] == "a cat"
+        assert asst["response_frame_num"] >= 1
+
+
+class TestCollator:
+    def _samples(self):
+        chat = [
+            {"role": "system", "content": "S"},
+            {"role": "stream", "num_frames": 2, "learn": True},
+            {"role": "assistant", "content": "hi", "learn": True},
+        ]
+        text = TOK.apply_chat_template(chat)
+        ranges = TOK.get_learn_ranges(chat)
+        frames = np.zeros((2, 8, 8, 3), np.uint8)
+        inf = [0, 1]
+        return [(text, frames, ranges, inf, None, 0)]
+
+    def test_static_shapes(self):
+        c = Collator(TOK, seq_len=64, max_frames=4, frame_size=8)
+        batch = c(self._samples())
+        assert batch["input_ids"].shape == (1, 64)
+        assert batch["frames"].shape == (4, 8, 8, 3)
+        assert batch["attn_mask"].sum() == len(TOK.encode(self._samples()[0][0]))
+
+    def test_labels_preshifted_and_frame_positions(self):
+        c = Collator(TOK, seq_len=64, max_frames=4, frame_size=8)
+        batch = c(self._samples())
+        ids = batch["input_ids"][0]
+        labels = batch["labels"][0]
+        (pos,) = np.nonzero(labels != IGNORE_INDEX)
+        np.testing.assert_array_equal(labels[pos], ids[pos + 1])
+        inf = batch["informative_labels"][0]
+        (fpos,) = np.nonzero(inf != IGNORE_INDEX)
+        assert list(inf[fpos]) == [0, 1]
+        # positions are the LAST <image> of each 3-token frame
+        (vpos,) = np.nonzero(ids == TOK.v_placeholder_id)
+        np.testing.assert_array_equal(fpos, vpos[2::3])
+
+    def test_overflow_raises(self):
+        c = Collator(TOK, seq_len=8, max_frames=4, frame_size=8)
+        with pytest.raises(ValueError, match="seq_len"):
+            c(self._samples())
+
+    def test_stack_accum(self):
+        c = Collator(TOK, seq_len=64, max_frames=4, frame_size=8)
+        b = c(self._samples())
+        stacked = stack_accum([b, b])
+        assert stacked["input_ids"].shape == (2, 1, 64)
+        assert stacked["frames"].shape == (2, 4, 8, 8, 3)
+
+
+class TestEndToEndNoVideo:
+    """skip_video dataset → collator → label consistency."""
+
+    def test_full_sample_flow(self, tmp_path):
+        anno = {
+            "vid1": {
+                "g1": [
+                    {"text": "step one", "time": 2.0, "timespan": [0.0, 2.0]},
+                ]
+            }
+        }
+        ds = DenseVideoCaptioningStreamDataset(
+            anno_file=_write(str(tmp_path), "a.json", anno),
+            tokenizer=TOK,
+            skip_video=True,
+            frame_fps=2,
+            max_num_frames=100,
+            metadata_path=None,
+        )
+        # inject metadata and rebuild (metadata came back empty w/o videos)
+        ds.metadata = {"vid1": {"duration": 4.0}}
+        ds.annos = ds.build_annos(ds.raw_annos)
+        text, frames, ranges, inf, rel, idx = ds[0]
+        assert "step one" in text
+        assert rel is None
+        assert len(frames) == 0  # skip_video
+        learned = [text[r.start : r.stop] for r in ranges]
+        assert any("step one" in s for s in learned)
