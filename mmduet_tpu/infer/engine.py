@@ -58,6 +58,7 @@ class LiveInferEngine:
         lora_scale: float = 0.0,
         kv_cache_size: Optional[int] = None,
         dtype=None,
+        block_frames: int = 8,
     ):
         self.params = params
         self.cfg = cfg
@@ -99,7 +100,8 @@ class LiveInferEngine:
         cache_size = kv_cache_size or (
             args.max_num_frames * cfg.frame_num_tokens + 4096
         )
-        self._cache_size = -(-cache_size // 128) * 128
+        # round to the pallas attention kernel's KV block size
+        self._cache_size = -(-cache_size // 512) * 512
         self.set_fps(args.frame_fps)
 
         # ---- jitted device functions ----
@@ -122,6 +124,17 @@ class LiveInferEngine:
         self._step = jax.jit(
             _step, static_argnames=("compute_lm",), donate_argnums=(3, 4)
         )
+
+        self.block_frames = max(1, block_frames)
+
+        def _frames_block(params, lora, frames, k, v, cache_len):
+            inf, rel, cache = mmduet.frames_block_forward(
+                params, cfg, frames, KVCache(k, v), cache_len,
+                lora=lora, lora_scale=lora_scale,
+            )
+            return inf, rel, cache.k, cache.v
+
+        self._frames_block = jax.jit(_frames_block, donate_argnums=(3, 4))
 
         max_new = args.max_new_tokens
         rep = args.repetition_penalty
@@ -274,6 +287,11 @@ class LiveInferEngine:
         self.state.cursor += t_real
         return inf, rel, logits
 
+    def _needs_joiner(self) -> bool:
+        return self.state.cursor == 0 or (
+            self.last_role == "assistant" and not self.args.remove_assistant_turns
+        )
+
     def _frame_joiner_ids(self) -> List[int]:
         """Token ids to prepend to the next frame chunk (reference
         `inference.py:229-234` semantics)."""
@@ -305,6 +323,46 @@ class LiveInferEngine:
         self.num_frames_no_reply += 1
         self.last_role = "stream"
         return {"informative_score": inf, "relevance_score": rel}
+
+    def _encode_frames_block(self, n: int) -> List[Dict[str, float]]:
+        """Score n joiner-free frames in one device dispatch (ONE host sync
+        for all n scores). Exact same cache contents as n single steps."""
+        t0 = time.perf_counter()
+        ft = self.cfg.frame_num_tokens
+        self.state.check_fits(n * ft)
+        idx = self._next_frame
+        frames = self.frame_embeds[idx : idx + n]
+        inf, rel, k, v = self._frames_block(
+            self.params, self.lora, frames,
+            self.state.kv_cache.k, self.state.kv_cache.v,
+            jnp.int32(self.state.cursor),
+        )
+        self.state.kv_cache = KVCache(k, v)
+        self.state.cursor += n * ft
+        self._next_frame += n
+        inf = np.asarray(inf)
+        rel = np.asarray(rel)
+        per_frame = (time.perf_counter() - t0) * 1000 / n
+        self.frame_latencies_ms.extend([per_frame] * n)
+        self.frame_idx += n
+        self.num_frames_no_reply += n
+        self.last_role = "stream"
+        return [
+            {"informative_score": float(i), "relevance_score": float(r)}
+            for i, r in zip(inf, rel)
+        ]
+
+    def _rollback_frames(self, k: int) -> None:
+        """Un-consume the last k block frames: cursor rewind + queue rewind.
+        Their cache slots are overwritten when they are re-encoded."""
+        if k <= 0:
+            return
+        ft = self.cfg.frame_num_tokens
+        self.state.cursor -= k * ft
+        self._next_frame -= k
+        self.frame_idx -= k
+        self.num_frames_no_reply -= k
+        del self.frame_latencies_ms[-k:]
 
     def _encode_query(self) -> None:
         _, query = self.query_queue.popleft()
@@ -384,9 +442,28 @@ class LiveInferEngine:
         if isinstance(rl, int) and rl > 0:
             self.stream_end_prob_list = self.stream_end_prob_list[-rl:]
 
+    def _block_budget(self) -> int:
+        """How many frames can run in one block before the next query is due
+        or the stream ends."""
+        remaining = len(self.frame_times) - self._next_frame
+        n = min(self.block_frames, remaining)
+        if self.query_queue:
+            q_time = self.query_queue[0][0]
+            # frame i of the block is checked at video_time + i*interval
+            free = int(
+                np.ceil((q_time - self.video_time) / self.frame_interval - 1e-9)
+            )
+            n = min(n, max(free, 0))
+        return n
+
     def inference(self) -> List[Dict[str, Any]]:
         """Stream all frames; returns the time-sorted response list in the
-        reference's JSONL schema."""
+        reference's JSONL schema (`test/inference.py:276-313` semantics).
+
+        Frames run in blocks of ``block_frames`` per device dispatch when no
+        query or turn-joiner interrupts; a response trigger mid-block
+        rolls the un-consumed frames back (cursor rewind) so results are
+        bit-identical to single-frame stepping."""
         responses = [
             {"time": t, "content": q, "role": "user"} for t, q in self.query_queue
         ]
@@ -394,18 +471,32 @@ class LiveInferEngine:
             if self.query_queue and self.video_time >= self.query_queue[0][0]:
                 self._encode_query()
 
-            scores = self._encode_frame()
-            self.debug_data_list.append(dict(time=self.video_time, **scores))
+            n = self._block_budget()
+            # only full blocks run fused (one compiled shape); tails and
+            # joiner-bearing frames run as single steps
+            if n == self.block_frames and n >= 2 and not self._needs_joiner():
+                scores_list = self._encode_frames_block(n)
+            else:
+                scores_list = [self._encode_frame()]
 
-            stream_end_score = sum(
-                v for k, v in scores.items() if k in self.score_heads
-            )
-            need_response = self._threshold_triggered(stream_end_score)
-
-            if need_response and not self.grounding_mode:
-                response = self._generate_response()
-                responses.append(
-                    {"time": self.video_time, "content": response, "role": "assistant"}
+            for i, scores in enumerate(scores_list):
+                self.debug_data_list.append(dict(time=self.video_time, **scores))
+                stream_end_score = sum(
+                    v for k, v in scores.items() if k in self.score_heads
                 )
-            self.video_time += self.frame_interval
+                need_response = self._threshold_triggered(stream_end_score)
+                if need_response and not self.grounding_mode:
+                    # discard not-yet-evaluated block frames, re-run later
+                    self._rollback_frames(len(scores_list) - 1 - i)
+                    response = self._generate_response()
+                    responses.append(
+                        {
+                            "time": self.video_time,
+                            "content": response,
+                            "role": "assistant",
+                        }
+                    )
+                    self.video_time += self.frame_interval
+                    break
+                self.video_time += self.frame_interval
         return sorted(responses, key=lambda x: x["time"])

@@ -241,11 +241,48 @@ def step_forward(
     hidden, kv_cache = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cache_len, lora=lora, lora_scale=lora_scale,
+        t_real=t_real,
     )
     last = jax.lax.dynamic_index_in_dim(hidden, t_real - 1, axis=1)  # (B, 1, H)
+    return _score_output(params, last, kv_cache, compute_lm_logits)
+
+
+def _score_output(params, last, kv_cache, compute_lm_logits):
     inf = jax.nn.softmax(_head(params["informative_head"], last)[:, 0], axis=-1)[:, 1]
     rel = jax.nn.softmax(_head(params["relevance_head"], last)[:, 0], axis=-1)[:, 1]
     logits = None
     if compute_lm_logits:
         logits = qwen2.lm_logits(params["lm_head"], last)[:, 0]
     return StepOutput(logits, inf, rel, kv_cache)
+
+
+def frames_block_forward(
+    params: Params,
+    cfg: MMDuetConfig,
+    frames: jax.Array,  # (K, frame_num_tokens, H) — K whole frames
+    kv_cache: KVCache,
+    cache_len: jax.Array,  # scalar int32
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Score K consecutive frames in ONE device call (scan over frame
+    steps). Streaming-throughput path: identical semantics to K single
+    `step_forward` calls, but one dispatch — amortizes host/launch
+    overhead, which dominates per-frame latency on tunneled chips.
+    Returns (informative_probs (K,), relevance_probs (K,), cache)."""
+    ft = frames.shape[1]
+
+    def body(carry, frame):
+        cache, cursor = carry
+        out = step_forward(
+            params, cfg, frame[None], cache, cursor, jnp.int32(ft),
+            lora=lora, lora_scale=lora_scale, compute_lm_logits=False,
+        )
+        return (out.kv_cache, cursor + ft), (
+            out.informative_prob[0], out.relevance_prob[0]
+        )
+
+    (kv_cache, _), (inf, rel) = jax.lax.scan(
+        body, (kv_cache, cache_len.astype(jnp.int32)), frames
+    )
+    return inf, rel, kv_cache

@@ -37,20 +37,23 @@ Params = Dict[str, Any]
 
 
 class KVCache(NamedTuple):
-    """Preallocated KV cache: k/v of shape (L, B, S_max, kv_heads, head_dim)."""
+    """Preallocated KV cache: k/v of shape (L, B, kv_heads, S_max, head_dim).
+
+    Head-major layout: each head's (S, hd) slab is contiguous, which is what
+    the pallas flash-decode kernel streams block-by-block."""
 
     k: jax.Array
     v: jax.Array
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
     cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -156,6 +159,29 @@ def _attend(
     return out.reshape(B, T, nh, hd).astype(q.dtype)
 
 
+def _attend_cached(
+    q: jax.Array,  # (B, T, nh, hd)
+    k: jax.Array,  # (B, kh, S, hd) — head-major cache layout
+    v: jax.Array,  # (B, kh, S, hd)
+    mask: jax.Array,  # (B, T, S)
+) -> jax.Array:
+    """jnp fallback attention over the head-major cache."""
+    B, T, nh, hd = q.shape
+    kh = k.shape[1]
+    group = nh // kh
+    q = q.reshape(B, T, kh, group, hd)
+    scores = jnp.einsum(
+        "btkgh,bksh->bkgts", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bksh->btkgh", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, nh, hd).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Decoder forward
 # ---------------------------------------------------------------------------
@@ -172,6 +198,8 @@ def qwen2_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     remat: bool = False,
+    t_real: Optional[jax.Array] = None,  # real tokens in chunk (streaming)
+    use_flash: Optional[bool] = None,  # None = auto (TPU streaming B=1)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Two modes:
 
@@ -187,6 +215,18 @@ def qwen2_forward(
 
     if kv_cache is not None:
         S = kv_cache.max_len
+        if use_flash is None:
+            from ..ops.attention import attention_available
+
+            use_flash = (
+                B == 1
+                and jax.default_backend() == "tpu"
+                and attention_available(
+                    T, S, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+                )
+            )
+        if t_real is None:
+            t_real = jnp.int32(T)
         # query i may attend to cache slot j iff j <= position of query i
         slot = jnp.arange(S)[None, None, :]
         mask = slot <= positions[:, :, None]
@@ -228,13 +268,26 @@ def qwen2_forward(
         k = apply_rope(k, cos, sin)
 
         if kv_cache is not None:
+            # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd) for the cache
+            k_hm = k.transpose(0, 2, 1, 3).astype(inputs["k_cache"].dtype)
+            v_hm = v.transpose(0, 2, 1, 3).astype(inputs["v_cache"].dtype)
             k_cache = jax.lax.dynamic_update_slice(
-                inputs["k_cache"], k.astype(inputs["k_cache"].dtype), (0, cache_len, 0, 0)
+                inputs["k_cache"], k_hm, (0, 0, cache_len, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                inputs["v_cache"], v.astype(inputs["v_cache"].dtype), (0, cache_len, 0, 0)
+                inputs["v_cache"], v_hm, (0, 0, cache_len, 0)
             )
-            attn = _attend(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask)
+            if use_flash:
+                from ..ops.attention import flash_decode_attention
+
+                attn = flash_decode_attention(
+                    q[0], k_cache[0].astype(q.dtype), v_cache[0].astype(q.dtype),
+                    cache_len, t_real,
+                )[None]
+            else:
+                attn = _attend_cached(
+                    q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask
+                )
             new_kv = (k_cache, v_cache)
         else:
             attn = _attend(q, k, v, mask)

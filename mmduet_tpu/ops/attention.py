@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: fused streaming-prefill attention over the KV cache.
+
+The hot op of the streaming engine: a small query chunk (one frame,
+T≈49-64 tokens after bucketing) attends over the big static KV cache
+(S up to ~20k slots). The jnp path materializes (kh, g, T, S) f32 scores
+in HBM — measured at ~1.2 ms per 1k cache slots per step on v5e (≈12 ms
+at the YouCook2 cache size). This kernel computes flash-style (online
+softmax, scores never leave VMEM):
+
+- GQA layout: queries reshaped to (kv_head, g·T, hd) so each KV head's
+  score matmul is one (448, 128) × (128, 512) MXU op;
+- grid (kv_heads, S/BS); m/l/acc carried in VMEM scratch across the
+  sequential KV-block dimension;
+- blocks entirely beyond the cursor are skipped (predicated) — compute
+  cost tracks the *live* cache length, not the buffer size;
+- causal/validity mask from the global position of each query row.
+
+Replaces flash-attention-2 in the reference's decode path
+(`models/arguments_live.py:27`, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+NEG_INF = -1e30
+
+
+def attention_available(T: int, S: int, num_heads: int, num_kv_heads: int,
+                        head_dim: int, block_s: int = 512) -> bool:
+    """Shape gate for the kernel path."""
+    if not _PALLAS_OK:
+        return False
+    return S % block_s == 0 and head_dim % 128 == 0 and S >= block_s
+
+
+def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, block_s: int, rows: int, group: int, q_len: int, scale: float):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    valid_len = valid_len_ref[0]
+    cache_len = valid_len_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * block_s < valid_len)
+    def _compute():
+        q = q_ref[0]  # (rows, hd)
+        k = k_ref[0]  # (block_s, hd)
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (rows, block_s)
+
+        # mask: kv slot (j*BS + col) must be <= query global position and
+        # within the written region
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 1) + j * block_s
+        t = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 0) % q_len
+        q_pos = cache_len + t
+        mask = (col <= q_pos) & (col < valid_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # (rows, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (rows, block_s)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        l = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_decode_attention(
+    q: jax.Array,  # (T, nh, hd)
+    k_cache: jax.Array,  # (kh, S, hd) head-major
+    v_cache: jax.Array,  # (kh, S, hd)
+    cache_len: jax.Array,  # scalar int32: query row t has position cache_len+t
+    t_real: jax.Array,  # scalar int32: real tokens in chunk
+    block_s: int = 512,
+    interpret: bool = False,  # pallas interpreter (CPU correctness tests)
+) -> jax.Array:
+    """Returns attention output (T, nh, hd). Semantics identical to the jnp
+    masked-softmax path in `qwen2._attend` for the streaming case."""
+    T_in, nh, hd = q.shape
+    kh, S, _ = k_cache.shape
+    group = nh // kh
+    scale = 1.0 / np.sqrt(hd)
+
+    # pad query tokens until group*T is sublane-aligned (padded rows attend
+    # to valid slots and produce garbage that is sliced away below)
+    T = T_in
+    while (group * T) % 8 != 0:
+        T += 1
+    if T != T_in:
+        q = jnp.concatenate([q, jnp.zeros((T - T_in, nh, hd), q.dtype)], axis=0)
+    rows = group * T
+
+    # (T, nh, hd) -> (kh, group*T, hd); row = g*T + t
+    qr = q.reshape(T, kh, group, hd).transpose(1, 2, 0, 3).reshape(kh, rows, hd)
+    valid = jnp.stack(
+        [(cache_len + t_real).astype(jnp.int32), cache_len.astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kh, S // block_s),
+        in_specs=[
+            pl.BlockSpec((1, rows, hd), lambda h, j, s: (h, 0, 0)),
+            pl.BlockSpec((1, block_s, hd), lambda h, j, s: (h, j, 0)),
+            pl.BlockSpec((1, block_s, hd), lambda h, j, s: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, hd), lambda h, j, s: (h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),  # m
+            pltpu.VMEM((rows, 128), jnp.float32),  # l
+            pltpu.VMEM((rows, hd), jnp.float32),  # acc
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel, block_s=block_s, rows=rows, group=group, q_len=T,
+                scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kh, rows, hd), q.dtype),
+        interpret=interpret,
+    )(valid, qr, k_cache, v_cache)
+
+    # (kh, group*T, hd) -> (T, nh, hd), dropping padded query rows
+    out = out.reshape(kh, group, T, hd).transpose(2, 0, 1, 3).reshape(T, nh, hd)
+    return out[:T_in]

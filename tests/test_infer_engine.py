@@ -126,8 +126,8 @@ class TestStreamingLoop:
             make_args(stream_end_prob_threshold=1.0, grounding_mode=True),
             kv_cache_size=40,
         )
-        # capacity rounds up to 128; 40 frames * 4 tokens + start ids > 128
-        big = (np.random.RandomState(1).rand(40, 32, 32, 3) * 255).astype(np.uint8)
+        # capacity rounds up to 512; 150 frames * 4 tokens + start ids > 512
+        big = (np.random.RandomState(1).rand(150, 32, 32, 3) * 255).astype(np.uint8)
         eng.input_video_stream(big)
         with pytest.raises(RuntimeError, match="overflow"):
             eng.inference()
@@ -167,3 +167,60 @@ class TestGeneration:
         eng.input_frame_embeds(fe)
         eng.inference()
         assert len(eng.debug_data_list) == 4
+
+
+class TestBlockMode:
+    """Block-mode streaming must be bit-identical to single-frame stepping."""
+
+    def test_grounding_scores_identical(self):
+        single = make_engine(stream_end_prob_threshold=1.0, grounding_mode=True)
+        single.block_frames = 1
+        single.input_video_stream(FRAMES)
+        single.inference()
+        s1 = [(d["informative_score"], d["relevance_score"]) for d in single.debug_data_list]
+
+        block = LiveInferEngine(
+            PARAMS, CFG, TOK,
+            make_args(stream_end_prob_threshold=1.0, grounding_mode=True),
+            kv_cache_size=512, block_frames=4,
+        )
+        block.input_video_stream(FRAMES)
+        block.inference()
+        s2 = [(d["informative_score"], d["relevance_score"]) for d in block.debug_data_list]
+        assert len(s1) == len(s2) == 6
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    def test_trigger_rollback_identical_responses(self):
+        """A mid-block trigger must produce the same responses and scores as
+        single-frame mode (rollback + re-encode)."""
+        def run(block_frames):
+            eng = LiveInferEngine(
+                PARAMS, CFG, TOK,
+                make_args(stream_end_prob_threshold=0.3, max_new_tokens=4,
+                          remove_assistant_turns=True),
+                kv_cache_size=512, block_frames=block_frames,
+            )
+            eng.input_video_stream(FRAMES)
+            resp = eng.inference()
+            return resp, eng.debug_data_list
+
+        r1, d1 = run(1)
+        r4, d4 = run(4)
+        assert [x["time"] for x in r1] == [x["time"] for x in r4]
+        assert [x["content"] for x in r1] == [x["content"] for x in r4]
+        assert len(d1) == len(d4)
+        np.testing.assert_allclose(
+            [x["informative_score"] for x in d1],
+            [x["informative_score"] for x in d4], atol=1e-5)
+
+    def test_query_interrupts_block(self):
+        eng = LiveInferEngine(
+            PARAMS, CFG, TOK,
+            make_args(stream_end_prob_threshold=1.0, grounding_mode=True),
+            kv_cache_size=512, block_frames=4,
+        )
+        eng.input_video_stream(FRAMES)
+        eng.input_query_stream([{"role": "user", "content": "Q", "time": 1.2}])
+        eng.inference()
+        assert len(eng.debug_data_list) == 6
+        assert not eng.query_queue
