@@ -1,0 +1,232 @@
+"""Metric-stack tests with hand-computable golden values (no JAX)."""
+
+import numpy as np
+import pytest
+
+from mmduet_tpu.eval.captioning import Cider, Meteor, porter_stem, ptb_tokenize
+from mmduet_tpu.eval.dvc import (
+    chased_dp_assignment,
+    eval_dense_captioning,
+    evaluate_detections,
+    merge_response_segments,
+    sodac,
+)
+from mmduet_tpu.eval.grounding import best_result, evaluate_grounding
+from mmduet_tpu.eval.magqa import analyze_magqa, judge_example
+from mmduet_tpu.eval.qvh import average_precision, eval_highlight, preds_to_saliency
+from mmduet_tpu.eval.span_utils import (
+    frame_iou,
+    normalize_scores,
+    parse_debug_scores,
+    qvh_to_charades_format,
+    smooth_scores,
+    span_iou,
+)
+
+
+class TestSpanUtils:
+    def test_smooth_window0_identity(self):
+        assert smooth_scores([1.0, 2.0, 3.0], 0) == [1.0, 2.0, 3.0]
+
+    def test_smooth_window1(self):
+        np.testing.assert_allclose(
+            smooth_scores([0.0, 3.0, 0.0], 1), [1.5, 1.0, 1.5]
+        )
+
+    def test_normalize(self):
+        assert normalize_scores([2.0, 4.0, 6.0]) == [0.0, 0.5, 1.0]
+        assert normalize_scores([5.0, 5.0]) == [0.0, 0.0]
+
+    def test_frame_iou(self):
+        # pred [T,T,F,F], gold [F,T,T,F] -> inter 1, union 3
+        assert frame_iou([1, 1, 0, 0], [False, True, True, False], 0.5) == pytest.approx(1 / 3)
+
+    def test_span_iou(self):
+        assert span_iou([0, 2], [1, 3]) == pytest.approx(1 / 3, abs=1e-6)
+        assert span_iou([0, 1], [2, 3]) == 0.0
+
+    def test_parse_debug_both_formats(self):
+        old = [{"video_time": 0.0, "relevance_score": [0.4, 0.6]}]
+        new = [{"time": 0.5, "relevance_score": 0.7}]
+        assert parse_debug_scores(old) == ([0.0], [0.6])
+        assert parse_debug_scores(new) == ([0.5], [0.7])
+
+    def test_qvh_to_charades(self):
+        ex = {"answer": {"relevant_clip_ids": [3, 4, 5],
+                         "saliency_scores": [[4, 4, 4], [4, 3, 2], [1, 1, 1]]}}
+        out = qvh_to_charades_format(ex)
+        assert out["timestamps"] == [[10, 10]]  # clip 3-4 high then drop at 5
+
+
+class TestGrounding:
+    def test_perfect_prediction(self):
+        # 10 frames @1fps; gold span [3, 6]; scores exactly the gold mask
+        debug = [
+            {"time": float(t), "relevance_score": 1.0 if 3 <= t <= 6 else 0.0}
+            for t in range(10)
+        ]
+        preds = [{"question_id": "q", "debug_data": debug}]
+        golds = [{"question_id": "q", "timestamps": [[3, 6]]}]
+        results = evaluate_grounding(preds, golds, smooth_windows=[0])
+        best = best_result(results)
+        assert best["scores"][0] == pytest.approx(100.0)
+        assert best["scores"][3] == pytest.approx(100.0)  # R@0.7
+
+
+class TestQVH:
+    def test_average_precision_perfect(self):
+        assert average_precision([0, 1, 1, 0], [0.1, 0.9, 0.8, 0.2]) == 1.0
+
+    def test_average_precision_all_wrong(self):
+        assert average_precision([1, 0], [0.0, 1.0]) == pytest.approx(0.5)
+
+    def test_hit1_and_map(self):
+        gold = [{
+            "qid": "q", "duration": 8.0,
+            "relevant_clip_ids": [1, 2],
+            "saliency_scores": [[4, 4, 4], [2, 2, 2]],
+        }]
+        # 4 clips; top-scored is clip 1 (very good)
+        sub = [{"qid": "q", "pred_saliency_scores": [0.1, 0.9, 0.5, 0.0]}]
+        res = eval_highlight(sub, gold)
+        assert res["HL-min-VeryGood"]["HL-Hit1"] == 100.0
+        assert res["HL-min-Fair"]["HL-Hit1"] == 100.0
+        assert res["HL-min-VeryGood"]["HL-mAP"] == 100.0
+
+    def test_preds_to_saliency_clip_sums(self):
+        debug = [{"time": i * 1.0, "relevance_score": 1.0} for i in range(6)]
+        out = preds_to_saliency([{"question_id": "q", "debug_data": debug}], 0)
+        assert out[0]["pred_saliency_scores"] == [2.0, 2.0, 2.0]  # 2s clips @1fps
+
+
+class TestCaptioning:
+    def test_ptb_tokenize(self):
+        assert ptb_tokenize("Hello, World! It's fine.") == "hello world it's fine"
+
+    def test_porter_stem(self):
+        assert porter_stem("caresses") == "caress"
+        assert porter_stem("ponies") == "poni"
+        assert porter_stem("running") == "run"
+        assert porter_stem("relational") == "relat"
+
+    def test_cider_identical_beats_mismatch(self):
+        gts = {"a": ["the cat sat on the mat"], "b": ["a dog runs fast"]}
+        res_good = {"a": ["the cat sat on the mat"], "b": ["a dog runs fast"]}
+        res_bad = {"a": ["a dog runs fast"], "b": ["the cat sat on the mat"]}
+        good, _ = Cider().compute_score(gts, res_good)
+        bad, _ = Cider().compute_score(gts, res_bad)
+        assert good > bad
+        assert good == pytest.approx(10.0, abs=1e-6)  # perfect match = 10
+
+    def test_meteor_perfect_match(self):
+        m = Meteor()
+        score, per = m.compute_score({"a": ["the cat sat"]}, {"a": ["the cat sat"]})
+        # P=R=1, fmean=1, chunks=1, matches=3 -> pen=0.5*(1/3)^3
+        assert score == pytest.approx(1 - 0.5 * (1 / 3) ** 3, abs=1e-6)
+
+    def test_meteor_stem_match(self):
+        m = Meteor()
+        s1, _ = m.compute_score({"a": ["running fast"]}, {"a": ["runs fast"]})
+        s2, _ = m.compute_score({"a": ["walking slow"]}, {"a": ["runs fast"]})
+        assert s1 > s2 == 0.0
+
+
+class TestDVC:
+    def test_merge_segments(self):
+        turns = [
+            {"role": "user", "content": "q", "time": 0.0},
+            {"role": "assistant", "content": "a", "time": 1.0},
+            {"role": "assistant", "content": "a", "time": 2.0},
+            {"role": "assistant", "content": "b", "time": 3.0},
+        ]
+        segs = merge_response_segments(turns)
+        # reference protocol quirk (`evaluate.py:438-449`): the first
+        # caption's segment has start=None and is dropped at flush; each
+        # segment starts at the previous segment's end time
+        assert segs == [{"timestamp": [2.0, 3.0], "caption": "b"}]
+
+    def test_dp_assignment(self):
+        scores = np.array([[1.0, 0.0], [0.0, 2.0]])
+        total, pairs = chased_dp_assignment(scores)
+        assert total == 3.0
+        assert pairs == [(0, 0), (1, 1)]
+
+    def test_dp_assignment_monotone(self):
+        # crossing assignment not allowed: best monotone picks 5 (not 4+3)
+        scores = np.array([[0.0, 5.0], [3.0, 0.0]])
+        total, _ = chased_dp_assignment(scores)
+        assert total == 5.0
+
+    def test_detections(self):
+        pred = np.array([[0, 2], [5, 9]])
+        gt = np.array([[0, 2], [4, 9]])
+        prec, rec, iou_m = evaluate_detections(pred, gt)
+        assert prec[0] == 1.0  # both preds match at IoU .3
+        assert rec[0] == 1.0
+        assert iou_m[0, 0] == pytest.approx(1.0, abs=1e-6)
+
+    def test_sodac_perfect(self):
+        iou_m = np.eye(2)
+        caps = ["the cat sat", "a dog runs"]
+        f = sodac(iou_m, Meteor(), caps, caps)
+        assert 0.9 < f <= 1.0
+
+    def test_eval_dense_captioning_end_to_end(self):
+        pred_out = {
+            "v1": [
+                {"timestamp": [0, 10], "caption": "person opens the fridge"},
+                {"timestamp": [10, 20], "caption": "person pours the milk"},
+            ]
+        }
+        gold_out = [{
+            "image_id": "v1",
+            "segments": [[0, 10], [10, 20]],
+            "pure_cap": "person opens the fridge. person pours the milk",
+        }]
+        m = eval_dense_captioning(pred_out, gold_out)
+        assert m["F1"] == pytest.approx(100.0)
+        assert m["SODA_c"] > 90
+        assert m["CIDEr"] > 500  # perfect matches
+        assert m["METEOR"] > 90
+
+
+class TestMagqa:
+    class FakeJudge:
+        def evaluate(self, question, gold, pred):
+            return 5 if gold == pred else 2
+
+    def test_judge_in_span_only(self):
+        pred = {
+            "question_id": "q",
+            "model_response_list": [
+                {"role": "assistant", "content": "a cat", "time": 1.0},
+                {"role": "assistant", "content": "off topic", "time": 50.0},
+            ],
+        }
+        gold = {
+            "question_id": "q",
+            "conversation": [{"role": "user", "content": "what?"}],
+            "answer": [{"content": "a cat", "time": [0.0, 2.0]}],
+        }
+        out = judge_example(pred, gold, self.FakeJudge())
+        matrix = out["evaluator_output"]
+        assert matrix[0][0] == 5  # in-span, exact match
+        assert matrix[0][1] == 1  # out-of-span: never judged, stays 1
+
+    def test_analyze(self):
+        ex = {
+            "model_response_list": [
+                {"role": "assistant", "content": "a cat", "time": 1.0},
+                {"role": "assistant", "content": "a cat", "time": 1.5},
+            ],
+            "evaluator_output": [[5, 3]],
+            "answer_time": [[0.0, 2.0]],
+        }
+        res = analyze_magqa([ex], num_examples=1)
+        assert res["in_span_score"] == 4.0  # mean(5, 3)
+        assert res["turns"] == 2 and res["turns_dedup"] == 1
+
+    def test_analyze_pads_missing(self):
+        res = analyze_magqa([], num_examples=4)
+        assert res["in_span_score"] == 1.0
+        assert res["turns"] == 0.0
