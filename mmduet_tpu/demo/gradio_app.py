@@ -1,0 +1,120 @@
+"""Gradio demo (reference `demo/app.py` UI contract).
+
+Requires `gradio` (not baked into this image — use
+`python -m mmduet_tpu.demo.app` for the dependency-free demo). UI mirrors
+the reference: threshold-mode radio (single-frame vs score-sum), score-head
+checkboxes, remove-assistant-turns radio, threshold + frame-interval
+sliders, live score plot, chat box injecting queries at the current video
+time (`demo/app.py:84-177`)."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover
+        raise SystemExit(
+            "gradio is not installed; run the dependency-free demo instead:\n"
+            "    python -m mmduet_tpu.demo.app --video <file> ..."
+        ) from e
+
+    import numpy as np
+
+    from ..data.video import decode_video
+    from ..eval.inference import build_argparser, build_engine
+    from .live import LiveInferForDemo
+
+    p = argparse.ArgumentParser(parents=[build_argparser()], add_help=False,
+                                conflict_handler="resolve")
+    p.add_argument("--test_fname", default=None)
+    p.add_argument("--input_dir", default=None)
+    p.add_argument("--output_fname", default=None)
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+
+    engine = build_engine(args)
+    engine.__class__ = LiveInferForDemo
+
+    def start_chat(video_file, threshold_mode, score_heads, rm_turns,
+                   threshold, frame_interval, history):
+        engine.args.remove_assistant_turns = rm_turns == "remove"
+        engine.args.stream_end_prob_threshold = (
+            threshold if threshold_mode == "single frame" else None
+        )
+        engine.args.stream_end_score_sum_threshold = (
+            threshold if threshold_mode == "score sum" else None
+        )
+        engine.score_heads = list(score_heads)
+        engine.reset()
+        engine.set_fps(frame_interval=frame_interval)
+        frames, fps, _ = decode_video(
+            video_file, 1.0 / frame_interval, engine.cfg.frame_resolution,
+            engine.args.max_num_frames,
+        )
+        engine.input_video_stream(frames)
+        history = history or []
+        scores = []
+        while True:
+            t0 = time.perf_counter()
+            res = engine.input_one_frame()
+            if res is None:
+                break
+            scores.append((res["time"], res["informative_score"], res["relevance_score"]))
+            if res["response"]:
+                history.append((None, f"[{res['time']:.1f}s] {res['response']}"))
+            time.sleep(max(0.0, frame_interval - (time.perf_counter() - t0)))
+            yield history, _plot(scores)
+
+    def _plot(scores):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 2.4))
+        if scores:
+            t, inf, rel = zip(*scores)
+            ax.plot(t, inf, label="informative")
+            ax.plot(t, rel, label="relevance")
+        ax.set_ylim(0, 1)
+        ax.legend(loc="upper right")
+        return fig
+
+    def user_message(msg, history):
+        engine.encode_given_query(msg)
+        return "", (history or []) + [(f"[{engine.video_time:.1f}s] {msg}", None)]
+
+    with gr.Blocks(title="MMDuet-TPU") as demo_ui:
+        gr.Markdown("## MMDuet-TPU — streaming video-text duet")
+        with gr.Row():
+            video = gr.Video(label="video")
+            with gr.Column():
+                threshold_mode = gr.Radio(
+                    ["single frame", "score sum"], value="single frame",
+                    label="threshold mode")
+                score_heads = gr.CheckboxGroup(
+                    ["informative_score", "relevance_score"],
+                    value=["informative_score"], label="score heads")
+                rm_turns = gr.Radio(["keep", "remove"], value="keep",
+                                    label="assistant turns in context")
+                threshold = gr.Slider(0.0, 3.0, value=0.3, label="threshold")
+                frame_interval = gr.Slider(0.1, 2.0, value=0.5,
+                                           label="frame interval (s)")
+        plot = gr.Plot(label="per-frame scores")
+        chat = gr.Chatbot(label="conversation")
+        msg = gr.Textbox(label="ask about the video")
+        start = gr.Button("start streaming")
+        start.click(start_chat,
+                    [video, threshold_mode, score_heads, rm_turns, threshold,
+                     frame_interval, chat],
+                    [chat, plot])
+        msg.submit(user_message, [msg, chat], [msg, chat])
+    demo_ui.queue().launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""HF checkpoint → MMDuet-TPU params conversion.
+
+Maps the `lmms-lab/llava-onevision-qwen2-7b-ov` layout (and the
+reference's `VideoHeadLiveLlavaQwenForCausalLM` additions: the two score
+heads, `video_head_live_llava_qwen.py:77-78`) plus PEFT LoRA adapter files
+(`modeling_live.py:107-117`) onto the layer-stacked JAX pytree.
+
+Conventions:
+- HF Linear stores (out, in); we store (in, out) → transpose;
+- per-layer tensors are stacked on a leading layer axis;
+- SigLIP's conv patch-embed (out, C, kh, kw) flattens to our
+  (C*kh*kw, out) matmul weight — same (C, ph, pw) element order as
+  `siglip.patchify`;
+- LoRA A (r, in) → a (in, r); B (out, r) → b (r, out).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from ..config import MMDuetConfig, Qwen2Config, SiglipConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / numpy → numpy f32 (bf16-safe)."""
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.cpu().numpy()
+    return np.asarray(t)
+
+
+def convert_qwen2(sd: Dict[str, Any], cfg: Qwen2Config, prefix: str = "model.") -> Dict:
+    """HF Qwen2 state dict → decoder params."""
+    L = cfg.num_layers
+
+    def stack(fmt: str, transpose: bool = False):
+        mats = []
+        for i in range(L):
+            m = _np(sd[fmt.format(i=i)])
+            mats.append(m.T if transpose else m)
+        return np.stack(mats)
+
+    p = prefix
+    layers = {
+        "input_norm": stack(p + "layers.{i}.input_layernorm.weight"),
+        "post_attn_norm": stack(p + "layers.{i}.post_attention_layernorm.weight"),
+        "q_proj": stack(p + "layers.{i}.self_attn.q_proj.weight", True),
+        "q_bias": stack(p + "layers.{i}.self_attn.q_proj.bias"),
+        "k_proj": stack(p + "layers.{i}.self_attn.k_proj.weight", True),
+        "k_bias": stack(p + "layers.{i}.self_attn.k_proj.bias"),
+        "v_proj": stack(p + "layers.{i}.self_attn.v_proj.weight", True),
+        "v_bias": stack(p + "layers.{i}.self_attn.v_proj.bias"),
+        "o_proj": stack(p + "layers.{i}.self_attn.o_proj.weight", True),
+        "gate_proj": stack(p + "layers.{i}.mlp.gate_proj.weight", True),
+        "up_proj": stack(p + "layers.{i}.mlp.up_proj.weight", True),
+        "down_proj": stack(p + "layers.{i}.mlp.down_proj.weight", True),
+    }
+    return {
+        "embed": _np(sd[p + "embed_tokens.weight"]),
+        "layers": layers,
+        "final_norm": _np(sd[p + "norm.weight"]),
+    }
+
+
+def convert_siglip(sd: Dict[str, Any], cfg: SiglipConfig, prefix: str = "") -> Dict:
+    """HF SiglipVisionModel state dict → vision params."""
+    L = cfg.num_layers
+    p = prefix
+
+    def stack(fmt: str, transpose: bool = False):
+        mats = []
+        for i in range(L):
+            m = _np(sd[fmt.format(i=i)])
+            mats.append(m.T if transpose else m)
+        return np.stack(mats)
+
+    conv = _np(sd[p + "embeddings.patch_embedding.weight"])  # (out, C, kh, kw)
+    patch_embed = conv.reshape(conv.shape[0], -1).T  # (C*kh*kw, out)
+    e = p + "encoder.layers.{i}."
+    layers = {
+        "ln1_scale": stack(e + "layer_norm1.weight"),
+        "ln1_bias": stack(e + "layer_norm1.bias"),
+        "ln2_scale": stack(e + "layer_norm2.weight"),
+        "ln2_bias": stack(e + "layer_norm2.bias"),
+        "q_proj": stack(e + "self_attn.q_proj.weight", True),
+        "q_bias": stack(e + "self_attn.q_proj.bias"),
+        "k_proj": stack(e + "self_attn.k_proj.weight", True),
+        "k_bias": stack(e + "self_attn.k_proj.bias"),
+        "v_proj": stack(e + "self_attn.v_proj.weight", True),
+        "v_bias": stack(e + "self_attn.v_proj.bias"),
+        "o_proj": stack(e + "self_attn.out_proj.weight", True),
+        "o_bias": stack(e + "self_attn.out_proj.bias"),
+        "fc1": stack(e + "mlp.fc1.weight", True),
+        "fc1_bias": stack(e + "mlp.fc1.bias"),
+        "fc2": stack(e + "mlp.fc2.weight", True),
+        "fc2_bias": stack(e + "mlp.fc2.bias"),
+    }
+    return {
+        "patch_embed": patch_embed,
+        "patch_bias": _np(sd[p + "embeddings.patch_embedding.bias"]),
+        "pos_embed": _np(sd[p + "embeddings.position_embedding.weight"]),
+        "layers": layers,
+    }
+
+
+def convert_mmduet(sd: Dict[str, Any], cfg: MMDuetConfig) -> Dict:
+    """Full checkpoint (llava-OV + score heads) → MMDuet params pytree."""
+    params = {
+        "decoder": convert_qwen2(sd, cfg.text, prefix="model."),
+        "lm_head": _np(sd["lm_head.weight"]).T,
+    }
+    for head in ("informative_head", "relevance_head"):
+        key = f"{head}.weight"
+        if key in sd:
+            params[head] = _np(sd[key]).T
+        else:  # base llava checkpoint without duet heads: zero-init
+            params[head] = np.zeros((cfg.text.hidden_size, cfg.num_score_classes), np.float32)
+
+    # projector: llava mm_projector is Sequential(Linear, GELU, Linear)
+    pj = "model.mm_projector."
+    params["projector"] = {
+        "fc1": _np(sd[pj + "0.weight"]).T,
+        "fc1_bias": _np(sd[pj + "0.bias"]),
+        "fc2": _np(sd[pj + "2.weight"]).T,
+        "fc2_bias": _np(sd[pj + "2.bias"]),
+    }
+
+    # vision tower (llava nests it twice)
+    vt_prefixes = [
+        "model.vision_tower.vision_tower.vision_model.",
+        "model.vision_tower.vision_model.",
+        "vision_model.",
+    ]
+    for vp in vt_prefixes:
+        if vp + "embeddings.patch_embedding.weight" in sd:
+            params["vision"] = convert_siglip(sd, cfg.vision, prefix=vp)
+            break
+    else:
+        params["vision"] = None  # feature-extraction-only checkpoints
+    return params
+
+
+def convert_lora(sd: Dict[str, Any], cfg: Qwen2Config) -> Dict:
+    """PEFT adapter state dict → layer-stacked LoRA pytree."""
+    pat = re.compile(
+        r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_(A|B)\.(?:default\.)?weight"
+    )
+    found: Dict[str, Dict[str, Dict[int, np.ndarray]]] = {}
+    for key, val in sd.items():
+        m = pat.search(key)
+        if not m:
+            continue
+        layer, proj, ab = int(m.group(1)), m.group(2), m.group(3)
+        found.setdefault(proj, {"a": {}, "b": {}})
+        w = _np(val)
+        if ab == "A":  # (r, in) -> (in, r)
+            found[proj]["a"][layer] = w.T
+        else:  # (out, r) -> (r, out)
+            found[proj]["b"][layer] = w.T
+    out = {}
+    for proj, ab in found.items():
+        L = cfg.num_layers
+        out[proj] = {
+            "a": np.stack([ab["a"][i] for i in range(L)]),
+            "b": np.stack([ab["b"][i] for i in range(L)]),
+        }
+    return out
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
+    """Read all safetensors shards (or pytorch_model.bin) in a local dir."""
+    from safetensors import safe_open
+
+    sd: Dict[str, Any] = {}
+    index = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        for shard in sorted(set(weight_map.values())):
+            with safe_open(os.path.join(model_dir, shard), framework="np") as fobj:
+                for k in fobj.keys():
+                    sd[k] = fobj.get_tensor(k)
+    elif os.path.exists(os.path.join(model_dir, "model.safetensors")):
+        with safe_open(os.path.join(model_dir, "model.safetensors"), framework="np") as fobj:
+            for k in fobj.keys():
+                sd[k] = fobj.get_tensor(k)
+    else:
+        import torch
+
+        sd = torch.load(
+            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu"
+        )
+    return sd
+
+
+def convert_hf_checkpoint(
+    model_dir: str,
+    cfg: MMDuetConfig,
+    lora_dir: Optional[str] = None,
+    dtype=None,
+):
+    """Local HF llava-OV dir (+ optional PEFT adapter dir) → (params, lora)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    params = convert_mmduet(load_hf_state_dict(model_dir), cfg)
+    import jax
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    lora = None
+    if lora_dir:
+        from safetensors import safe_open
+
+        path = os.path.join(lora_dir, "adapter_model.safetensors")
+        asd = {}
+        with safe_open(path, framework="np") as fobj:
+            for k in fobj.keys():
+                asd[k] = fobj.get_tensor(k)
+        lora = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), convert_lora(asd, cfg.text)
+        )
+    return params, lora

@@ -1,0 +1,125 @@
+"""Numerics parity vs the actual HuggingFace reference implementations.
+
+Builds tiny random-weight `Qwen2ForCausalLM` / `SiglipVisionModel` from
+transformers (architecture code ships with the package; no downloads),
+converts their state dicts, and compares outputs — the parity test the
+reference never had (SURVEY.md §7 stage 2)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from mmduet_tpu.config import MMDuetConfig, Qwen2Config, SiglipConfig
+from mmduet_tpu.models.convert import convert_lora, convert_qwen2, convert_siglip
+from mmduet_tpu.models.qwen2 import embed_tokens, lm_logits, qwen2_forward
+from mmduet_tpu.models.siglip import normalize_pixels, siglip_encode
+
+
+def tiny_hf_qwen2():
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM
+
+    hf_cfg = HFQwen2Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    ours = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=10000.0,
+    )
+    return model, ours
+
+
+class TestQwen2Parity:
+    def test_logits_match_hf(self):
+        model, cfg = tiny_hf_qwen2()
+        sd = model.state_dict()
+        params = convert_qwen2(sd, cfg, prefix="model.")
+        params = jax.tree.map(jnp.asarray, params)
+        lm_head = jnp.asarray(sd["lm_head.weight"].numpy().T)
+
+        ids = np.random.RandomState(0).randint(0, 256, (1, 12))
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+        emb = embed_tokens(params, jnp.asarray(ids), cfg.vocab_size)
+        pos = jnp.arange(12)[None]
+        hidden, _ = qwen2_forward(params, cfg, emb, pos)
+        ours = np.asarray(lm_logits(lm_head, hidden))
+        np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-3)
+
+    def test_lora_conversion_matches_peft_math(self):
+        """Converted A/B applied at runtime == torch x@W.T + BAx scaling."""
+        model, cfg = tiny_hf_qwen2()
+        sd = model.state_dict()
+        r = 4
+        torch.manual_seed(1)
+        fake_adapter = {}
+        for i in range(cfg.num_layers):
+            for proj, din, dout in (
+                ("q_proj", 64, 64), ("v_proj", 64, 32), ("down_proj", 128, 64),
+            ):
+                mod = "self_attn" if proj in ("q_proj", "v_proj") else "mlp"
+                fake_adapter[
+                    f"base_model.model.model.layers.{i}.{mod}.{proj}.lora_A.weight"
+                ] = torch.randn(r, din) * 0.1
+                fake_adapter[
+                    f"base_model.model.model.layers.{i}.{mod}.{proj}.lora_B.weight"
+                ] = torch.randn(dout, r) * 0.1
+        lora = convert_lora(fake_adapter, cfg)
+        assert set(lora) == {"q_proj", "v_proj", "down_proj"}
+        assert lora["q_proj"]["a"].shape == (2, 64, r)
+        assert lora["down_proj"]["b"].shape == (2, r, 64)
+        # math check layer 0 q_proj
+        x = np.random.RandomState(2).randn(3, 64).astype(np.float32)
+        A = fake_adapter["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"].numpy()
+        B = fake_adapter["base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight"].numpy()
+        peft_delta = x @ A.T @ B.T
+        ours_delta = x @ lora["q_proj"]["a"][0] @ lora["q_proj"]["b"][0]
+        np.testing.assert_allclose(ours_delta, peft_delta, atol=1e-5)
+
+
+class TestSiglipParity:
+    def test_features_match_hf(self):
+        from transformers import SiglipVisionConfig, SiglipVisionModel
+
+        hf_cfg = SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        model = SiglipVisionModel(hf_cfg).eval()
+        ours = SiglipConfig(
+            image_size=28, patch_size=14, hidden_size=32,
+            intermediate_size=64, num_layers=3, num_heads=2,
+        )
+        params = jax.tree.map(
+            jnp.asarray, convert_siglip(model.state_dict(), ours, prefix="vision_model.")
+        )
+
+        px = np.random.RandomState(0).rand(2, 28, 28, 3).astype(np.float32) * 2 - 1
+        with torch.no_grad():
+            hf_out = model(
+                torch.tensor(px).permute(0, 3, 1, 2), output_hidden_states=True
+            )
+        # select layer -2 like LLaVA (hidden_states[-2] = output of layer L-1)
+        hf_feats = hf_out.hidden_states[-2].numpy()
+        ours_feats = np.asarray(siglip_encode(params, ours, jnp.asarray(px)))
+        np.testing.assert_allclose(ours_feats, hf_feats, atol=3e-4, rtol=1e-3)
