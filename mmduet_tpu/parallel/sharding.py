@@ -92,15 +92,68 @@ def param_shardings(
 
 
 def batch_shardings(batch: Any, mesh: Mesh) -> Any:
-    """Shard every batch leaf on its leading (batch) dim over ``data``."""
+    """Shard batch leaves over ``data`` on the per-device batch dim.
+
+    Training batches carry a leading grad-accumulation axis A that the
+    jitted step `lax.scan`s over sequentially — sharding it would put the
+    scan axis across devices. The data-parallel axis is **dim 1**: B for
+    token leaves ``(A, B, T)``, N frames for vision leaves ``(A, N, ...)``
+    (the collator packs B·frames_per_sample frames, so N divides evenly
+    whenever B does). Rank-1 leaves and indivisible dims replicate.
+    """
     data_n = mesh.shape[DATA_AXIS]
 
     def leaf(x):
-        if x.ndim >= 1 and x.shape[0] % data_n == 0:
-            return NamedSharding(mesh, P(DATA_AXIS))
+        if data_n > 1 and x.ndim >= 2 and x.shape[1] % data_n == 0:
+            return NamedSharding(mesh, P(None, DATA_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(leaf, batch)
+
+
+def _zero_spec(shape, data_n: int) -> P:
+    """Largest divisible dim carries ``data`` (ZeRO optimizer sharding)."""
+    dims: list = [None] * len(shape)
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[i] % data_n == 0 and shape[i] >= data_n:
+            dims[i] = DATA_AXIS
+            break
+    return P(*dims)
+
+
+def opt_state_shardings(opt_state: Any, mesh: Mesh) -> Any:
+    """ZeRO-2 equivalent (reference `configs/deepspeed/zero2.json`): every
+    optimizer-state leaf (Adam mu/nu mirror the trainable shapes) sharded
+    over ``data`` on its largest divisible dim. Each data shard owns 1/N of
+    the optimizer state; XLA turns the grad reduction into a
+    reduce-scatter at the sharded update and all-gathers the applied
+    updates — the DeepSpeed ZeRO-2 dataflow, derived from shardings."""
+    data_n = mesh.shape[DATA_AXIS]
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if data_n > 1 and len(shape) >= 1:
+            return NamedSharding(mesh, _zero_spec(shape, data_n))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf, opt_state)
+
+
+def train_state_shardings(state: Any, mesh: Mesh, param_mode: str = "replicate") -> Any:
+    """Shardings for a TrainState(step, trainable, opt_state): trainable
+    params by the param rules, optimizer state ZeRO-2-sharded over
+    ``data``, step counter replicated."""
+    return type(state)(
+        step=replicated(mesh),
+        trainable=param_shardings(state.trainable, mesh, mode=param_mode),
+        opt_state=opt_state_shardings(state.opt_state, mesh),
+    )
+
+
+def shard_train_state(state: Any, mesh: Mesh, param_mode: str = "replicate") -> Any:
+    """device_put a TrainState with ZeRO-2 opt-state sharding."""
+    sh = train_state_shardings(state, mesh, param_mode)
+    return jax.tree.map(jax.device_put, state, sh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -116,7 +116,7 @@ def main(argv=None):
     from ..models import init_mmduet_params
     from ..models.io import load_checkpoint, save_checkpoint
     from ..models.lora import init_lora
-    from ..parallel import batch_shardings, make_mesh, param_shardings, shard_params
+    from ..parallel import batch_shardings, make_mesh, shard_params, shard_train_state
     from ..stream import CharTokenizer, HFTokenizerAdapter
     from ..train import init_train_state, make_optimizer, make_train_step
     from .checkpoint import latest_checkpoint, restore_train_state, save_train_state
@@ -190,16 +190,15 @@ def main(argv=None):
     tx, sched = make_optimizer(train_args, total_steps)
     lora = init_lora(jax.random.PRNGKey(args.seed + 1), cfg.text, rank=args.lora_r)
     state = init_train_state(params, lora, tx)
-    state = jax.tree.map(
-        jax.device_put, state, jax.tree.map(lambda t: param_shardings(t, mesh), state)
-    )
+    # ZeRO-2: optimizer state sharded over the data axis, trainable replicated
+    state = shard_train_state(state, mesh)
     resume = args.resume_from_checkpoint
     if resume == "auto":
         resume = latest_checkpoint(args.output_dir)
     if resume:
         print(f"resuming from {resume}")
         state = restore_train_state(resume, state)
-    step_fn = make_train_step(cfg, train_args, tx, sched)
+    step_fn = make_train_step(cfg, train_args, tx, sched, mesh=mesh)
 
     # --- loop ------------------------------------------------------------
     log_path = os.path.join(args.output_dir, "log.jsonl")

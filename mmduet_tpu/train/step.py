@@ -99,6 +99,7 @@ def make_train_step(
     args: TrainArgs,
     tx: optax.GradientTransformation,
     lr_sched: Optional[optax.Schedule] = None,
+    mesh=None,
 ):
     """Build the jitted step: ``(state, base_params, batch) -> (state, metrics)``.
 
@@ -106,6 +107,12 @@ def make_train_step(
     input_ids/attn_mask/labels/informative_labels/relevance_labels
     (A, B, T) and optionally frames (A, N, H, W, 3) uint8 or
     vision_feats (A, N, P, C).
+
+    When ``mesh`` is given, ZeRO-2 sharding constraints are applied inside
+    the step: averaged gradients and updated optimizer state are pinned to
+    the ``data``-sharded layout, so XLA lowers the gradient reduction to a
+    reduce-scatter and each shard updates only its slice of Adam state
+    (the reference's DeepSpeed ZeRO-2 dataflow, `configs/deepspeed/zero2.json`).
     """
     scale = lora_scale(args.lora_r, args.lora_alpha)
     remat = args.gradient_checkpointing
@@ -134,7 +141,20 @@ def make_train_step(
         grads = jax.tree.map(lambda g: g / A, grads)
         metrics = {k: v / A for k, v in metrics.items()}
 
+        if mesh is not None:
+            from ..parallel.sharding import opt_state_shardings
+
+            grads = jax.lax.with_sharding_constraint(
+                grads, opt_state_shardings(grads, mesh)
+            )
+
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        if mesh is not None:
+            from ..parallel.sharding import opt_state_shardings
+
+            new_opt = jax.lax.with_sharding_constraint(
+                new_opt, opt_state_shardings(new_opt, mesh)
+            )
         new_trainable = optax.apply_updates(state.trainable, updates)
 
         # non-finite guard: skip the update, keep state

@@ -14,9 +14,12 @@ from mmduet_tpu.models.qwen2 import embed_tokens
 from mmduet_tpu.parallel import (
     batch_shardings,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
     shard_params,
+    shard_train_state,
 )
+from mmduet_tpu.parallel.mesh import DATA_AXIS
 from mmduet_tpu.train import (
     TrainState,
     init_train_state,
@@ -107,12 +110,12 @@ class TestLora:
         assert err_merge < 0.1 * err_base, (err_merge, err_base)
 
 
-def _make_step(lr=1e-2, accum_A=1):
+def _make_step(lr=1e-2, accum_A=1, mesh=None):
     args = TrainArgs(learning_rate=lr, lora_r=4, lora_alpha=8, lr_schedule="constant")
     tx, sched = make_optimizer(args, total_steps=100)
     lora = init_lora(jax.random.PRNGKey(3), CFG.text, rank=4)
     state = init_train_state(PARAMS, lora, tx)
-    step = make_train_step(CFG, args, tx, sched)
+    step = make_train_step(CFG, args, tx, sched, mesh=mesh)
     return step, state
 
 
@@ -175,10 +178,9 @@ class TestMultiDevice:
     def test_replicate_mode_8dev(self):
         mesh = make_mesh((8, 1))
         params = shard_params(PARAMS, mesh, mode="replicate")
-        step, state = _make_step()
-        state = jax.tree.map(jax.device_put, state,
-                             jax.tree.map(lambda x: param_shardings(x, mesh), state))
-        batch = make_batch(A=1, B=8)
+        step, state = _make_step(mesh=mesh)
+        state = shard_train_state(state, mesh)
+        batch = make_batch(A=2, B=8)
         batch = jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
         state2, metrics = step(state, params, batch)
         assert np.isfinite(float(metrics["loss"]))
@@ -191,22 +193,72 @@ class TestMultiDevice:
         sh = param_shardings(PARAMS, mesh, mode="fsdp")
         q_spec = sh["decoder"]["layers"]["q_proj"].spec
         assert "model" in str(q_spec)
-        step, state = _make_step()
-        batch = make_batch(A=1, B=4)
+        step, state = _make_step(mesh=mesh)
+        state = shard_train_state(state, mesh)
+        batch = make_batch(A=2, B=4)
         batch = jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
         state2, metrics = step(state, params, batch)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_batch_sharded_on_batch_axis_not_accum(self):
+        """Regression for round-1 bug: (A, B, T) leaves must carry ``data``
+        on dim 1 (batch), never dim 0 (the scanned grad-accum axis)."""
+        mesh = make_mesh((8, 1))
+        batch = make_batch(A=2, B=8)
+        sharded = jax.tree.map(
+            jax.device_put, batch, batch_shardings(batch, mesh)
+        )
+        spec = sharded["input_ids"].sharding.spec
+        assert len(spec) >= 2 and spec[0] is None and spec[1] == DATA_AXIS, spec
+        feats = sharded["vision_feats"].sharding.spec
+        assert len(feats) >= 2 and feats[1] == DATA_AXIS, feats
+        # A=16, B=1 real-recipe shape: accum axis must NOT be sharded
+        b2 = make_batch(A=16, B=1)
+        sh2 = batch_shardings(b2, mesh)
+        assert sh2["input_ids"].spec == jax.sharding.PartitionSpec(), sh2[
+            "input_ids"
+        ].spec
+
+    def test_opt_state_zero2_sharded(self):
+        """ZeRO-2: Adam mu/nu leaves realized sharded over ``data``, and the
+        updated state keeps that sharding after a step."""
+        mesh = make_mesh((8, 1))
+        params = shard_params(PARAMS, mesh, mode="replicate")
+        step, state = _make_step(mesh=mesh)
+        state = shard_train_state(state, mesh)
+        big = [
+            x for x in jax.tree.leaves(state.opt_state)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.size >= 8
+        ]
+        assert big, "no non-scalar optimizer-state leaves found"
+        n_sharded = sum(DATA_AXIS in x.sharding.spec for x in big)
+        assert n_sharded > len(big) // 2, (
+            f"only {n_sharded}/{len(big)} opt-state leaves data-sharded"
+        )
+        batch = make_batch(A=2, B=8)
+        batch = jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+        state2, _ = step(state, params, batch)
+        big2 = [
+            x for x in jax.tree.leaves(state2.opt_state)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.size >= 8
+        ]
+        n2 = sum(DATA_AXIS in x.sharding.spec for x in big2)
+        assert n2 > len(big2) // 2, (
+            f"updated opt state lost ZeRO-2 sharding: {n2}/{len(big2)}"
+        )
+
     def test_sharded_matches_single_device(self):
         mesh = make_mesh((8, 1))
         params = shard_params(PARAMS, mesh, mode="fsdp")
-        step, state = _make_step()
-        batch = make_batch(A=1, B=8)
-        _, m_single = step(state, PARAMS, batch)
+        batch = make_batch(A=2, B=8)
+        step_1dev, state = _make_step()
+        _, m_single = step_1dev(state, PARAMS, batch)
+        step_8dev, _ = _make_step(mesh=mesh)
+        sharded_state = shard_train_state(state, mesh)
         sharded_batch = jax.tree.map(
             jax.device_put, batch, batch_shardings(batch, mesh)
         )
-        _, m_sharded = step(state, params, sharded_batch)
+        _, m_sharded = step_8dev(sharded_state, params, sharded_batch)
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
         )
