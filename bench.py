@@ -1,44 +1,64 @@
-"""Benchmark: streaming per-frame score latency on the 7B-shape decoder.
+"""Benchmark: streaming per-frame score latency on the 7B-shape model.
 
 The north-star metric (BASELINE.md): p50 per-frame score latency < 50 ms.
 One frame step = 49 frame tokens prefilled against the growing KV cache +
 informative/relevance score readout (the hot loop of
 `mmduet_tpu.infer.engine`, mirroring reference `_encode_frame`,
-`test/inference.py:221-246`).
+`test/inference.py:221-246`). Measured in the engine's grounding-mode
+serving configuration: 32-frame fused blocks, one host sync per block.
+
+Also measured (reported as extra keys on the same JSON line + stderr):
+- single-step interactive latency (block=1, the demo/live path);
+- greedy generation tok/s through the REAL 152k-vocab lm_head
+  (ref `fast_greedy_generate`, `models/modeling_live.py:51-77`);
+- SigLIP-so400m vision encode throughput (frames/s), the amortized
+  batched pre-encode stage (`test/inference.py:196-214`);
+- peak HBM in use.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": p50_ms, "unit": "ms", "vs_baseline": 50/p50}
+    {"metric": ..., "value": p50_ms, "unit": "ms", "vs_baseline": 50/p50, ...}
 
 Runs on whatever jax.devices() provides (the real TPU chip under the
-driver). Random bf16 weights at the exact Qwen2-7B shape; lm_head and the
-vision tower are not resident (frame scoring touches neither; vision
-encode is a separate amortized batch step). Falls back to half depth if
-the chip can't fit full depth alongside the KV cache.
+driver). Random bf16 weights at the exact 7B shapes. A single v5e chip
+cannot hold decoder + lm_head + SigLIP simultaneously in bf16 (15.2 GB +
+0.9 GB vs 16 GB HBM) — real multi-component serving shards over a v5e-8
+mesh — so each stage benches the components its serving step actually
+touches, and frees them before the next stage.
 """
 
+import gc
 import json
 import sys
 import time
 
 import numpy as np
 
+FRAME_TOKENS = 49
+BLOCK = 32  # grounding-mode serving block (engine default for score-only)
 
-def build(num_layers: int):
+
+def _text_cfg(num_layers):
+    from mmduet_tpu.config import MMDuetConfig, Qwen2Config
+
+    text = Qwen2Config(num_layers=num_layers)
+    cfg = MMDuetConfig(text=text, v_placeholder_id=text.vocab_size - 1,
+                       eos_token_id=2)
+    return text, cfg
+
+
+def build_decoder(num_layers: int):
     import jax
     import jax.numpy as jnp
 
-    from mmduet_tpu.config import MMDuetConfig, Qwen2Config
-    from mmduet_tpu.models import init_kv_cache, mmduet
-    from mmduet_tpu.models.qwen2 import KVCache, init_qwen2_params
+    from mmduet_tpu.models.qwen2 import init_qwen2_params
 
-    text = Qwen2Config(num_layers=num_layers)
-    cfg = MMDuetConfig(text=text, v_placeholder_id=text.vocab_size - 1, eos_token_id=2)
-
+    text, cfg = _text_cfg(num_layers)
     rng = jax.random.PRNGKey(0)
     params = {
         "decoder": init_qwen2_params(rng, text, dtype=jnp.bfloat16),
-        # 2-class heads only; lm_head replaced by a stub (never touched in
-        # score-only steps, compute_lm_logits=False)
+        # stub lm_head for the score path (never touched when
+        # compute_lm_logits=False); the generation bench swaps in the
+        # real 152k-vocab head
         "lm_head": jnp.zeros((text.hidden_size, 128), jnp.bfloat16),
         "informative_head": jax.random.normal(
             jax.random.fold_in(rng, 1), (text.hidden_size, 2), jnp.bfloat16
@@ -47,14 +67,21 @@ def build(num_layers: int):
             jax.random.fold_in(rng, 2), (text.hidden_size, 2), jnp.bfloat16
         ),
     }
+    return params, text, cfg
 
-    MAX_FRAMES = 200  # YouCook2 protocol cap (scripts/inference/youcook2.sh)
-    FRAME_TOKENS = 49
-    cache_len_total = MAX_FRAMES * FRAME_TOKENS + 512
-    cache_size = -(-cache_len_total // 512) * 512
-    cache = init_kv_cache(text, 1, cache_size, dtype=jnp.bfloat16)
 
+def run_score(params, text, cfg):
+    """Stream 192 frames in 32-frame fused blocks + 20 single steps."""
+    import jax
+    import jax.numpy as jnp
     from functools import partial
+
+    from mmduet_tpu.models import mmduet
+    from mmduet_tpu.models.qwen2 import KVCache, init_kv_cache
+
+    MAX_FRAMES = 192  # YouCook2-protocol scale (cap 200)
+    cache_size = -(-(200 * FRAME_TOKENS + 512) // 512) * 512
+    cache = init_kv_cache(text, 1, cache_size, dtype=jnp.bfloat16)
 
     @partial(jax.jit, donate_argnums=(1, 2))
     def frame_step(params, k, v, embeds, cache_len):
@@ -66,75 +93,198 @@ def build(num_layers: int):
 
     @partial(jax.jit, donate_argnums=(1, 2))
     def frames_block(params, k, v, frames, cache_len):
-        inf, rel, cache = mmduet.frames_block_forward(
+        inf, rel, c = mmduet.frames_block_forward(
             params, cfg, frames, KVCache(k, v), cache_len
         )
-        return inf, rel, cache.k, cache.v
+        return inf, rel, c.k, c.v
 
+    rng = jax.random.PRNGKey(3)
     frame = jax.random.normal(
-        jax.random.fold_in(rng, 3), (FRAME_TOKENS, text.hidden_size), jnp.bfloat16
+        rng, (FRAME_TOKENS, text.hidden_size), jnp.bfloat16
     ) * 0.02
-    return jax, params, cache, frame_step, frames_block, frame, MAX_FRAMES
-
-
-BLOCK = 8
-
-
-def run(num_layers: int):
-    """Stream MAX_FRAMES frames in engine block mode (BLOCK frames per
-    dispatch, one host sync per block — the serving configuration);
-    per-frame latency = block wall time / BLOCK."""
-    jax, params, cache, frame_step, frames_block, frame, max_frames = build(num_layers)
-    import jax.numpy as jnp
+    frames = jnp.broadcast_to(frame, (BLOCK, *frame.shape))
 
     k, v = cache.k, cache.v
-    frames = jnp.broadcast_to(frame, (BLOCK, *frame.shape))
-    # warmup / compile
     inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(0))
-    float(inf[-1])
+    float(inf[-1])  # warmup/compile
 
     lat, single_lat = [], []
-    cursor = BLOCK * 49
-    for i in range(1, max_frames // BLOCK):
+    cursor = BLOCK * FRAME_TOKENS
+    for _ in range(1, MAX_FRAMES // BLOCK):
         t0 = time.perf_counter()
         inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(cursor))
         float(inf[-1])  # ONE host sync per block, as the engine does
         dt = (time.perf_counter() - t0) * 1000
         lat.extend([dt / BLOCK] * BLOCK)
-        cursor += BLOCK * 49
+        cursor += BLOCK * FRAME_TOKENS
 
-    # reference single-step latency (interactive mode), for stderr info
+    # single-step latency (interactive/demo mode)
     inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
     float(inf)
-    cursor += 49
-    for i in range(20):
+    cursor += FRAME_TOKENS
+    for _ in range(20):
         t0 = time.perf_counter()
         inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
         float(inf)
         single_lat.append((time.perf_counter() - t0) * 1000)
-        cursor += 49
+        cursor += FRAME_TOKENS
+    del k, v
     return np.array(lat), np.array(single_lat)
+
+
+def run_generation(params, text, cfg, max_new=64):
+    """Greedy decode tok/s with the real-shape lm_head resident
+    (prefill of the gen prompt + device-side token loop, the engine's
+    `_generate` shape). Cache sized for a mid-video generation."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from mmduet_tpu.models import mmduet
+    from mmduet_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache
+
+    params = dict(params)
+    params["lm_head"] = (
+        jax.random.normal(
+            jax.random.PRNGKey(9), (text.hidden_size, text.vocab_size),
+            jnp.bfloat16,
+        ) * 0.02
+    )
+    cache = init_kv_cache(text, 1, 4096, dtype=jnp.bfloat16)
+    V = text.vocab_size
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def generate(params, k, v, embeds, cache_len, t_real):
+        out = mmduet.step_forward(
+            params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
+            compute_lm_logits=True,
+        )
+        cache = out.kv_cache
+        cursor = cache_len + t_real
+        tok0 = jnp.argmax(out.last_logits[0]).astype(jnp.int32)
+        buf = jnp.zeros((max_new,), jnp.int32).at[0].set(tok0)
+
+        def body(s):
+            cache, cursor, last_tok, buf, i = s
+            emb = embed_tokens(params["decoder"], last_tok[None, None], V)
+            o = mmduet.step_forward(
+                params, cfg, emb, cache, cursor, jnp.int32(1),
+                compute_lm_logits=True,
+            )
+            tok = jnp.argmax(o.last_logits[0]).astype(jnp.int32)
+            return (o.kv_cache, cursor + 1, tok, buf.at[i].set(tok), i + 1)
+
+        cache, cursor, _, buf, _ = jax.lax.while_loop(
+            lambda s: s[4] < max_new, body, (cache, cursor, tok0, buf, 1)
+        )
+        return buf, cache.k, cache.v
+
+    prompt = jax.random.normal(
+        jax.random.PRNGKey(4), (8, text.hidden_size), jnp.bfloat16
+    ) * 0.02
+    k, v = cache.k, cache.v
+    buf, k, v = generate(params, k, v, prompt, jnp.int32(2048), jnp.int32(8))
+    np.asarray(buf)  # warmup
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf, k, v = generate(params, k, v, prompt, jnp.int32(2048), jnp.int32(8))
+        np.asarray(buf)
+        times.append(time.perf_counter() - t0)
+    del k, v, params
+    return max_new / min(times)
+
+
+def run_vision(batch=32):
+    """SigLIP-so400m-patch14-384 + projector + 27->7 pooling frames/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.config import MMDuetConfig
+    from mmduet_tpu.models import mmduet, siglip
+
+    cfg = MMDuetConfig(v_placeholder_id=0, eos_token_id=2)
+    rng = jax.random.PRNGKey(0)
+    vis = siglip.init_siglip_params(rng, cfg.vision, jnp.bfloat16)
+    h, vh = cfg.text.hidden_size, cfg.vision.hidden_size
+    params = {
+        "vision": vis,
+        "projector": {
+            "fc1": jax.random.normal(jax.random.fold_in(rng, 1), (vh, h), jnp.bfloat16) * 0.02,
+            "fc1_bias": jnp.zeros((h,), jnp.bfloat16),
+            "fc2": jax.random.normal(jax.random.fold_in(rng, 2), (h, h), jnp.bfloat16) * 0.02,
+            "fc2_bias": jnp.zeros((h,), jnp.bfloat16),
+        },
+    }
+
+    @jax.jit
+    def encode(params, px_u8):
+        px = siglip.normalize_pixels(px_u8).astype(jnp.bfloat16)
+        return mmduet.visual_embed(params, cfg, px)
+
+    px = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (batch, 384, 384, 3), np.uint8)
+    )
+    out = encode(params, px)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = encode(params, px)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    del params, out
+    return batch / min(times)
+
+
+def peak_hbm_gb():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        return None
 
 
 def main():
     layers = 28
     try:
-        lat, single = run(layers)
+        params, text, cfg = build_decoder(layers)
+        lat, single = run_score(params, text, cfg)
         tag = "7b"
     except Exception as e:  # OOM fallback: half depth, report honestly
         print(f"full-depth bench failed ({type(e).__name__}: {e}); "
               "falling back to 14 layers", file=sys.stderr)
         layers = 14
-        lat, single = run(layers)
+        params, text, cfg = build_decoder(layers)
+        lat, single = run_score(params, text, cfg)
         tag = "3.5b"
+
+    extra = {}
+    try:
+        extra["generation_tok_s"] = round(run_generation(params, text, cfg), 1)
+    except Exception as e:
+        print(f"generation bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    del params
+    gc.collect()
+    try:
+        extra["vision_frames_s"] = round(run_vision(), 1)
+    except Exception as e:
+        print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    hbm = peak_hbm_gb()
+    if hbm is not None:
+        extra["peak_hbm_gb"] = hbm
 
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))
+    single_p50 = float(np.percentile(single, 50))
     fps = 1000.0 / p50
     print(
         f"layers={layers} frames={len(lat)} block={BLOCK} "
         f"p50={p50:.2f}ms p90={p90:.2f}ms ~{fps:.1f} frames/s | "
-        f"single-step p50={float(np.percentile(single, 50)):.2f}ms",
+        f"single-step p50={single_p50:.2f}ms | {extra}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -142,6 +292,8 @@ def main():
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(50.0 / p50, 3),
+        "single_step_p50_ms": round(single_p50, 2),
+        **extra,
     }))
 
 

@@ -58,7 +58,7 @@ class LiveInferEngine:
         lora_scale: float = 0.0,
         kv_cache_size: Optional[int] = None,
         dtype=None,
-        block_frames: int = 8,
+        block_frames: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -125,6 +125,12 @@ class LiveInferEngine:
             _step, static_argnames=("compute_lm",), donate_argnums=(3, 4)
         )
 
+        # Block size: frames per fused chunk forward. Grounding mode never
+        # generates, so a trigger never rolls frames back and a big block
+        # is a pure win; generation workloads keep blocks moderate so a
+        # mid-block trigger discards little work.
+        if block_frames is None:
+            block_frames = 32 if args.grounding_mode else 8
         self.block_frames = max(1, block_frames)
 
         def _frames_block(params, lora, frames, k, v, cache_len):

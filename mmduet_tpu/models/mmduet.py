@@ -265,24 +265,31 @@ def frames_block_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
-    """Score K consecutive frames in ONE device call (scan over frame
-    steps). Streaming-throughput path: identical semantics to K single
-    `step_forward` calls, but one dispatch — amortizes host/launch
-    overhead, which dominates per-frame latency on tunneled chips.
+    """Score K consecutive frames in ONE chunk forward.
+
+    Because attention is causal, running the K·frame_tokens chunk through
+    the decoder once and reading the score heads at each frame's last
+    position (ft-1, 2·ft-1, …) is mathematically identical to K sequential
+    `step_forward` calls — but the ~14 GB of weights are read from HBM
+    ONCE per block instead of once per frame, and there is one dispatch
+    per block. This is the streaming-throughput path; the reference steps
+    frame-by-frame always (`test/inference.py:221-246`).
+
     Returns (informative_probs (K,), relevance_probs (K,), cache)."""
-    ft = frames.shape[1]
-
-    def body(carry, frame):
-        cache, cursor = carry
-        out = step_forward(
-            params, cfg, frame[None], cache, cursor, jnp.int32(ft),
-            lora=lora, lora_scale=lora_scale, compute_lm_logits=False,
-        )
-        return (out.kv_cache, cursor + ft), (
-            out.informative_prob[0], out.relevance_prob[0]
-        )
-
-    (kv_cache, _), (inf, rel) = jax.lax.scan(
-        body, (kv_cache, cache_len.astype(jnp.int32)), frames
+    K, ft, H = frames.shape
+    embeds = frames.reshape(1, K * ft, H)
+    positions = cache_len + jnp.arange(K * ft)[None, :]
+    hidden, kv_cache = qwen2.qwen2_forward(
+        params["decoder"], cfg.text, embeds, positions,
+        kv_cache=kv_cache, cache_len=cache_len,
+        lora=lora, lora_scale=lora_scale, t_real=jnp.int32(K * ft),
     )
+    # hidden state at the last token of each frame carries its scores
+    last = hidden.reshape(K, ft, H)[None, :, ft - 1, :]  # (1, K, H)
+    inf = jax.nn.softmax(
+        _head(params["informative_head"], last)[0], axis=-1
+    )[:, 1]
+    rel = jax.nn.softmax(
+        _head(params["relevance_head"], last)[0], axis=-1
+    )[:, 1]
     return inf, rel, kv_cache

@@ -74,12 +74,19 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
 
     Feature layout matches a conv patch-embed with kernel laid out as
     (C, ph, pw) flattened — the order HF SigLIP's Conv2d weight flattens to.
+
+    Non-divisible sizes are cropped to the patch grid, matching HF's
+    stride-p valid Conv2d: so400m-patch14-384 yields 27x27 patches from
+    384px input (378px used, 6px dropped at right/bottom).
     """
     N, H, W, C = images.shape
     p = patch_size
-    x = images.reshape(N, H // p, p, W // p, p, C)
+    gh, gw = H // p, W // p
+    if (gh * p, gw * p) != (H, W):
+        images = images[:, : gh * p, : gw * p]
+    x = images.reshape(N, gh, p, gw, p, C)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # N, gh, gw, C, ph, pw
-    return x.reshape(N, (H // p) * (W // p), C * p * p)
+    return x.reshape(N, gh * gw, C * p * p)
 
 
 def siglip_encode(

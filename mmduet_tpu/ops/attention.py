@@ -48,9 +48,11 @@ def attention_available(T: int, S: int, num_heads: int, num_kv_heads: int,
 
 
 def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, block_s: int, rows: int, group: int, q_len: int, scale: float):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+            *, block_s: int, block_rows: int, group: int, q_len: int,
+            scale: float):
+    qb = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
     valid_len = valid_len_ref[0]
     cache_len = valid_len_ref[1]
 
@@ -62,26 +64,33 @@ def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(j * block_s < valid_len)
     def _compute():
-        q = q_ref[0]  # (rows, hd)
+        q = q_ref[0]  # (block_rows, hd)
         k = k_ref[0]  # (block_s, hd)
         v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (rows, block_s)
+        ) * scale  # (block_rows, block_s)
 
         # mask: kv slot (j*BS + col) must be <= query global position and
-        # within the written region
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 1) + j * block_s
-        t = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 0) % q_len
-        q_pos = cache_len + t
+        # within the written region. Global row = qb*block_rows + local;
+        # its chunk-time index is row % q_len (rows are (g, T)-flattened).
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 1)
+            + j * block_s
+        )
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 0)
+            + qb * block_rows
+        )
+        q_pos = cache_len + row % q_len
         mask = (col <= q_pos) & (col < valid_len)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[:, 0:1]  # (rows, 1)
+        m_prev = m_ref[:, 0:1]  # (block_rows, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (rows, block_s)
+        p = jnp.exp(s - m_new)  # (block_rows, block_s)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -103,10 +112,14 @@ def flash_decode_attention(
     cache_len: jax.Array,  # scalar int32: query row t has position cache_len+t
     t_real: jax.Array,  # scalar int32: real tokens in chunk
     block_s: int = 512,
+    max_block_rows: int = 2048,  # query-dim tile (VMEM scratch cap)
     interpret: bool = False,  # pallas interpreter (CPU correctness tests)
 ) -> jax.Array:
     """Returns attention output (T, nh, hd). Semantics identical to the jnp
-    masked-softmax path in `qwen2._attend` for the streaming case."""
+    masked-softmax path in `qwen2._attend` for the streaming case.
+
+    Large chunks (multi-frame blocks) are tiled over the query dim so the
+    per-step VMEM footprint stays bounded regardless of chunk length."""
     T_in, nh, hd = q.shape
     kh, S, _ = k_cache.shape
     group = nh // kh
@@ -121,35 +134,45 @@ def flash_decode_attention(
         q = jnp.concatenate([q, jnp.zeros((T - T_in, nh, hd), q.dtype)], axis=0)
     rows = group * T
 
+    # query-dim tiling: n_qb blocks of block_rows rows each
+    block_rows = min(max_block_rows, rows)
+    n_qb = -(-rows // block_rows)
+    rows_padded = n_qb * block_rows
+
     # (T, nh, hd) -> (kh, group*T, hd); row = g*T + t
     qr = q.reshape(T, kh, group, hd).transpose(1, 2, 0, 3).reshape(kh, rows, hd)
+    if rows_padded != rows:
+        qr = jnp.concatenate(
+            [qr, jnp.zeros((kh, rows_padded - rows, hd), qr.dtype)], axis=1
+        )
     valid = jnp.stack(
         [(cache_len + t_real).astype(jnp.int32), cache_len.astype(jnp.int32)]
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(kh, S // block_s),
+        grid=(kh, n_qb, S // block_s),
         in_specs=[
-            pl.BlockSpec((1, rows, hd), lambda h, j, s: (h, 0, 0)),
-            pl.BlockSpec((1, block_s, hd), lambda h, j, s: (h, j, 0)),
-            pl.BlockSpec((1, block_s, hd), lambda h, j, s: (h, j, 0)),
+            pl.BlockSpec((1, block_rows, hd), lambda h, qb, j, s: (h, qb, 0)),
+            pl.BlockSpec((1, block_s, hd), lambda h, qb, j, s: (h, j, 0)),
+            pl.BlockSpec((1, block_s, hd), lambda h, qb, j, s: (h, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, rows, hd), lambda h, j, s: (h, 0, 0)),
+        out_specs=pl.BlockSpec((1, block_rows, hd), lambda h, qb, j, s: (h, qb, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.float32),  # m
-            pltpu.VMEM((rows, 128), jnp.float32),  # l
-            pltpu.VMEM((rows, hd), jnp.float32),  # acc
+            pltpu.VMEM((block_rows, 128), jnp.float32),  # m
+            pltpu.VMEM((block_rows, 128), jnp.float32),  # l
+            pltpu.VMEM((block_rows, hd), jnp.float32),  # acc
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel, block_s=block_s, rows=rows, group=group, q_len=T,
-                scale=scale),
+        partial(_kernel, block_s=block_s, block_rows=block_rows, group=group,
+                q_len=T, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kh, rows, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((kh, rows_padded, hd), q.dtype),
         interpret=interpret,
     )(valid, qr, k_cache, v_cache)
 
     # (kh, group*T, hd) -> (T, nh, hd), dropping padded query rows
+    out = out[:, :rows]
     out = out.reshape(kh, group, T, hd).transpose(2, 0, 1, 3).reshape(T, nh, hd)
     return out[:T_in]

@@ -123,3 +123,34 @@ class TestSiglipParity:
         hf_feats = hf_out.hidden_states[-2].numpy()
         ours_feats = np.asarray(siglip_encode(params, ours, jnp.asarray(px)))
         np.testing.assert_allclose(ours_feats, hf_feats, atol=3e-4, rtol=1e-3)
+
+    def test_features_match_hf_nondivisible_384_14(self):
+        """so400m-patch14-384 geometry: 384 % 14 != 0. HF's stride-14 valid
+        Conv2d crops to a 27x27 grid (378px); our patchify must match.
+        Tested at reduced width/depth but the REAL 384/14 spatial shape."""
+        from transformers import SiglipVisionConfig, SiglipVisionModel
+
+        hf_cfg = SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=384, patch_size=14,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        model = SiglipVisionModel(hf_cfg).eval()
+        ours = SiglipConfig(
+            image_size=384, patch_size=14, hidden_size=32,
+            intermediate_size=64, num_layers=2, num_heads=2,
+        )
+        assert ours.num_patches == 27 * 27
+        params = jax.tree.map(
+            jnp.asarray, convert_siglip(model.state_dict(), ours, prefix="vision_model.")
+        )
+        px = np.random.RandomState(1).rand(1, 384, 384, 3).astype(np.float32) * 2 - 1
+        with torch.no_grad():
+            hf_out = model(
+                torch.tensor(px).permute(0, 3, 1, 2), output_hidden_states=True
+            )
+        hf_feats = hf_out.hidden_states[-2].numpy()
+        ours_feats = np.asarray(siglip_encode(params, ours, jnp.asarray(px)))
+        assert ours_feats.shape == (1, 729, 32)
+        np.testing.assert_allclose(ours_feats, hf_feats, atol=3e-4, rtol=1e-3)

@@ -44,6 +44,24 @@ def test_kernel_matches_reference(cache_len, t_real):
     )
 
 
+@pytest.mark.parametrize("max_block_rows", [64, 96])
+def test_query_dim_tiling_matches_reference(max_block_rows):
+    """Multi-frame block chunks exceed one VMEM tile: the kernel tiles the
+    query dim. 64 divides rows evenly; 96 forces padded tail rows."""
+    T, nh, kh, hd, S = 98, 8, 2, 128, 1024  # rows = 4*98 = 392 per kv head
+    cache_len, t_real = 300, 98
+    rng = np.random.RandomState(1)
+    q = jnp.array(rng.randn(T, nh, hd), jnp.float32) * 0.1
+    k = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
+    v = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
+    out = flash_decode_attention(
+        q, k, v, jnp.int32(cache_len), jnp.int32(t_real),
+        max_block_rows=max_block_rows, interpret=True,
+    )
+    ref = _jnp_reference(q, k, v, cache_len, t_real)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+
+
 def test_availability_gate():
     assert attention_available(64, 2048, 28, 4, 128)
     assert not attention_available(64, 2049, 28, 4, 128)  # S not divisible
