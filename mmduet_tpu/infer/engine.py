@@ -280,8 +280,11 @@ class LiveInferEngine:
     def _feed(self, embeds: jnp.ndarray, compute_lm: bool = False):
         """Feed a (T,H) chunk: bucket-pad, run one step, advance cursor."""
         t_real = embeds.shape[0]
-        self.state.check_fits(t_real)
         bucket = pick_bucket(t_real)
+        # guard on the PADDED size: the write is bucket-wide, and
+        # dynamic_update_slice would silently clamp the start index and
+        # overwrite live tail entries if the padded chunk overhangs
+        self.state.check_fits(bucket)
         embeds = pad_chunk(embeds, bucket)
         inf, rel, logits, k, v = self._step(
             self.params, self.lora, embeds,

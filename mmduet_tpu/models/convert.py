@@ -147,14 +147,17 @@ def convert_mmduet(sd: Dict[str, Any], cfg: MMDuetConfig) -> Dict:
     return params
 
 
+_LORA_PAT = re.compile(
+    r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_(A|B)\.(?:default\.)?weight"
+)
+
+
 def convert_lora(sd: Dict[str, Any], cfg: Qwen2Config) -> Dict:
-    """PEFT adapter state dict → layer-stacked LoRA pytree."""
-    pat = re.compile(
-        r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_(A|B)\.(?:default\.)?weight"
-    )
+    """PEFT adapter state dict → layer-stacked LoRA pytree (lora_A/B only;
+    use `convert_adapter` to also consume `modules_to_save` tensors)."""
     found: Dict[str, Dict[str, Dict[int, np.ndarray]]] = {}
     for key, val in sd.items():
-        m = pat.search(key)
+        m = _LORA_PAT.search(key)
         if not m:
             continue
         layer, proj, ab = int(m.group(1)), m.group(2), m.group(3)
@@ -172,6 +175,72 @@ def convert_lora(sd: Dict[str, Any], cfg: Qwen2Config) -> Dict:
             "b": np.stack([ab["b"][i] for i in range(L)]),
         }
     return out
+
+
+def convert_modules_to_save(sd: Dict[str, Any]) -> Dict:
+    """PEFT ``modules_to_save`` tensors → param overrides.
+
+    Reference-trained adapters carry FULLY fine-tuned projector and
+    score-head weights under ``modules_to_save`` (`modeling_live.py:107-117`
+    with `finetune_modules`); an adapter loader that only reads lora_A/B
+    would silently run the base projector and produce wrong outputs.
+    Returns a subset of {"projector", "informative_head", "relevance_head"}.
+    """
+    overrides: Dict[str, Any] = {}
+    proj: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if "modules_to_save" not in key:
+            continue
+        tail = key.split("modules_to_save.")[-1]
+        if tail.startswith("default."):
+            tail = tail[len("default."):]
+        if "mm_projector" in key or "connector" in key:
+            # llava projector is Sequential(Linear, GELU, Linear): 0.* / 2.*
+            slot = {
+                "0.weight": ("fc1", True), "0.bias": ("fc1_bias", False),
+                "2.weight": ("fc2", True), "2.bias": ("fc2_bias", False),
+            }.get(tail)
+            if slot:
+                name, transpose = slot
+                proj[name] = _np(val).T if transpose else _np(val)
+        elif "informative_head" in key and tail == "weight":
+            overrides["informative_head"] = _np(val).T
+        elif "relevance_head" in key and tail == "weight":
+            overrides["relevance_head"] = _np(val).T
+    if proj:
+        overrides["projector"] = proj
+    return overrides
+
+
+def _adapter_key_consumed(key: str) -> bool:
+    if _LORA_PAT.search(key):
+        return True
+    if "modules_to_save" in key and any(
+        m in key for m in ("mm_projector", "connector", "informative_head", "relevance_head")
+    ):
+        return True
+    return False
+
+
+def convert_adapter(
+    sd: Dict[str, Any], cfg: Qwen2Config, strict: bool = True
+) -> tuple:
+    """Full PEFT adapter → (lora pytree, param overrides).
+
+    ``strict`` raises on any adapter tensor this loader does not consume —
+    an unconsumed tensor means the restored model silently differs from
+    the trained one."""
+    lora = convert_lora(sd, cfg)
+    overrides = convert_modules_to_save(sd)
+    leftover = [k for k in sd if not _adapter_key_consumed(k)]
+    if leftover:
+        msg = f"adapter keys not consumed by conversion: {sorted(leftover)[:8]}"
+        if strict:
+            raise ValueError(msg + " (pass strict=False to ignore)")
+        import warnings
+
+        warnings.warn(msg)
+    return lora, overrides
 
 
 def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
@@ -223,7 +292,9 @@ def convert_hf_checkpoint(
         with safe_open(path, framework="np") as fobj:
             for k in fobj.keys():
                 asd[k] = fobj.get_tensor(k)
-        lora = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype), convert_lora(asd, cfg.text)
-        )
+        raw_lora, overrides = convert_adapter(asd, cfg.text)
+        lora = jax.tree.map(lambda x: jnp.asarray(x, dtype), raw_lora)
+        # fully fine-tuned modules (projector / heads) replace base weights
+        for name, val in overrides.items():
+            params[name] = jax.tree.map(lambda x: jnp.asarray(x, dtype), val)
     return params, lora

@@ -61,11 +61,17 @@ class StreamTemplate:
 
 
 def _header(tpl: StreamTemplate, role: str, first: bool, stream_query: bool) -> str:
-    """Transition string entering a turn of `role`."""
-    if first:
-        if stream_query:
-            # close an open stream turn, then start this turn
-            return f"{tpl.eos}\n{tpl.bos}{role}\n"
+    """Transition string entering a turn of `role`.
+
+    The reference Jinja template (`tokenization_live.py:36-58`) prefixes
+    EVERY user/assistant/stream turn with ``\\n`` — including the first
+    turn of an incremental fragment — and only the system turn opens
+    bare. Incremental fragments fed mid-stream must match byte-for-byte
+    (the trained format)."""
+    if first and stream_query:
+        # close an open stream turn, then start this turn
+        return f"{tpl.eos}\n{tpl.bos}{role}\n"
+    if role == "system":
         return f"{tpl.bos}{role}\n"
     return f"\n{tpl.bos}{role}\n"
 

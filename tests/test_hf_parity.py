@@ -94,6 +94,43 @@ class TestQwen2Parity:
         ours_delta = x @ lora["q_proj"]["a"][0] @ lora["q_proj"]["b"][0]
         np.testing.assert_allclose(ours_delta, peft_delta, atol=1e-5)
 
+    def test_adapter_modules_to_save_consumed(self):
+        """Reference adapters carry fully fine-tuned projector + heads in
+        `modules_to_save` (`modeling_live.py:107-117`); conversion must map
+        them to param overrides and raise on unconsumed tensors."""
+        from mmduet_tpu.models.convert import convert_adapter
+
+        _, cfg = tiny_hf_qwen2()
+        torch.manual_seed(2)
+        sd = {
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": torch.randn(4, 64),
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": torch.randn(64, 4),
+            "base_model.model.model.layers.1.self_attn.q_proj.lora_A.weight": torch.randn(4, 64),
+            "base_model.model.model.layers.1.self_attn.q_proj.lora_B.weight": torch.randn(64, 4),
+            "base_model.model.model.mm_projector.modules_to_save.default.0.weight": torch.randn(64, 32),
+            "base_model.model.model.mm_projector.modules_to_save.default.0.bias": torch.randn(64),
+            "base_model.model.model.mm_projector.modules_to_save.default.2.weight": torch.randn(64, 64),
+            "base_model.model.model.mm_projector.modules_to_save.default.2.bias": torch.randn(64),
+            "base_model.model.informative_head.modules_to_save.default.weight": torch.randn(2, 64),
+            "base_model.model.relevance_head.modules_to_save.default.weight": torch.randn(2, 64),
+        }
+        lora, overrides = convert_adapter(sd, cfg)
+        assert set(lora) == {"q_proj"}
+        assert set(overrides) == {"projector", "informative_head", "relevance_head"}
+        assert overrides["projector"]["fc1"].shape == (32, 64)  # (in, out)
+        assert overrides["informative_head"].shape == (64, 2)
+        np.testing.assert_allclose(
+            overrides["projector"]["fc1"],
+            sd["base_model.model.model.mm_projector.modules_to_save.default.0.weight"].numpy().T,
+        )
+        # unconsumed tensors must not pass silently
+        sd["base_model.model.lm_head.modules_to_save.default.weight"] = torch.randn(8, 8)
+        with pytest.raises(ValueError):
+            convert_adapter(sd, cfg)
+        with pytest.warns(UserWarning):
+            lora2, _ = convert_adapter(sd, cfg, strict=False)
+        assert set(lora2) == {"q_proj"}
+
 
 class TestSiglipParity:
     def test_features_match_hf(self):

@@ -107,6 +107,20 @@ def test_streaming_fragments_reconstruct_full_render():
     assert incremental == full
 
 
+def test_fragment_first_turn_keeps_leading_newline():
+    """Reference Jinja (`tokenization_live.py:44-53`) prefixes EVERY
+    user/assistant/stream turn with '\\n', even as a fragment's first turn
+    (the engine feeds such fragments after a kept assistant turn). Only a
+    system turn opens bare."""
+    frag = render_conversation(
+        [{"role": "user", "content": "Q"}], template=TPL, add_stream_prompt=True
+    )
+    assert frag == f"\n{BOS}user\nQ{EOS}\n{BOS}stream\n"
+    assert render_conversation(
+        [{"role": "system", "content": "S"}], template=TPL
+    ).startswith(BOS)
+
+
 def test_stream_query_prompt_closes_open_stream():
     """A user query arriving mid-stream closes the stream turn, reopens it."""
     img = "<image>" * TPL.frame_num_tokens
