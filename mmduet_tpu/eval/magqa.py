@@ -4,13 +4,24 @@ Two stages, matching the reference protocol:
 
 1. **Judge** (`test/evaluate.py:13-81,195-306`): every (gold, pred) answer
    pair whose pred time falls inside the gold timespan is scored 1-5 by an
-   LLM judge with a fixed 6-shot rubric; pairs never judged stay 1. The
-   judge backends: a local HF causal LM, an HTTP server, or (offline) the
-   OpenAI Batch-API file tooling (`test/openai_batch.py` equivalents in
-   :mod:`openai_batch`).
+   LLM judge; pairs never judged stay 1. Backends mirror the reference's
+   prompt variants exactly:
+
+   - local HF causal LM — the rubric + SIX in-context scoring examples,
+     with the shared prompt's KV cache computed once and reused per pair
+     (`test/evaluate.py:18-68`);
+   - HTTP server (`LlamaServerEvaluator`, 0-shot server-side);
+   - OpenAI Batch-API tooling — 0-shot with the "Only reply with a
+     number" rubric suffix (`test/openai_batch.py:84-97` variant), in
+     :mod:`openai_batch`.
+
 2. **Analysis** (`test/analyze_magqa_results.py`): the in-span score =
    mean judge score of pred turns inside each gold span (missing spans
    score 1), plus #turns / #turns-dedup; missing examples padded with 1.
+
+The rubric text and the six example pairs are protocol constants copied
+verbatim — a judge-sensitive metric with a different prompt is a
+different benchmark.
 """
 
 from __future__ import annotations
@@ -38,12 +49,60 @@ JUDGE_RUBRIC = (
     " address the question at all."
 )
 
+# System prompt of the 6-shot local judge (`test/evaluate.py:19-27`).
+JUDGE_SYSTEM_FEWSHOT = JUDGE_RUBRIC + "\n\nHere are some examples to guide you:"
+
+# System prompt of the 0-shot OpenAI batch judge (`test/openai_batch.py:84-93`).
+JUDGE_SYSTEM_BATCH = (
+    JUDGE_RUBRIC + "\nOnly reply with a number from 1 to 5, and nothing else."
+)
+
+# The six in-context scoring examples of the local judge
+# (`test/evaluate.py:28-47`) — protocol constants, verbatim.
+JUDGE_FEWSHOT: Tuple[Tuple[str, str], ...] = (
+    (
+        "Question: What is shown about the black car?\nGround Truth Answer: At night a black car is parked in the open space with its headlights on. The lights are very dazzling.\nPredicted Answer: The car's headlights are on and dazzling.",
+        "4",
+    ),
+    (
+        "Question: What is shown in the video?\nGround Truth Answer: In the video, a group of colorful paper birds on the wall move out from the upper right corner of the camera, and then a piece of blue folded paper appears in the camera.\nPredicted Answer: The colorful paper birds are created by folding paper.",
+        "2",
+    ),
+    (
+        "Question: What is the man doing?\nGround Truth Answer: The video shows a person wearing a helmet flipping several times in the air.\nPredicted Answer: The person wearing a helmet in the background is sitting in a crouch facing the other person.",
+        "3",
+    ),
+    (
+        "Question: What is the current scene about?\nGround Truth Answer: This is a close-up of a Mercedes-Benz car on display in the showroom.\nPredicted Answer: A Mercedes-Benz car is being displayed in the showroom.",
+        "5",
+    ),
+    (
+        "Question: What was the unexpected sight in the room with the formally dressed snakes?\nGround Truth Answer: The sight of the snake on the stage talking into a microphone, with many others holding cameras with their tongues out.\nPredicted Answer: A large snake lying on its back in a room with wooden walls and furniture, surrounded by other snakes.",
+        "3",
+    ),
+    (
+        "Question: What had changed between the beginning and the end of the scene with the man in a black suit and a tie?\nGround Truth Answer: The scene changed from the man talking in the chair to the man sitting on the sofa with a woman and a pizza box, and then to the man fixing his tie and turning to look at the woman.\nPredicted Answer: The man in a black suit and tie is eating pizza.",
+        "1",
+    ),
+)
+
 
 def judge_user_message(question: str, gold: str, pred: str) -> str:
     return (
         f"Question: {question}\nGround Truth Answer: {gold}\n"
         f"Predicted Answer: {pred}"
     )
+
+
+def fewshot_prompt_conversation() -> List[dict]:
+    """The shared prefix conversation of the local judge: rubric system
+    turn + the six scored examples (`test/evaluate.py:18-48`). Its KV
+    cache is computed once and reused for every judged pair."""
+    conv: List[dict] = [{"role": "system", "content": JUDGE_SYSTEM_FEWSHOT}]
+    for user, score in JUDGE_FEWSHOT:
+        conv.append({"role": "user", "content": user})
+        conv.append({"role": "assistant", "content": score})
+    return conv
 
 
 def text_score_to_int(text) -> int:
@@ -53,7 +112,10 @@ def text_score_to_int(text) -> int:
 
 
 class HFJudge:
-    """Local HF causal-LM judge (reference `CorrectnessEvaluator`)."""
+    """Local HF causal-LM judge (reference `CorrectnessEvaluator`,
+    `test/evaluate.py:13-68`): 6-shot prompt whose KV cache is computed
+    ONCE at init and reused for every judged pair — per-pair work is one
+    short user turn + a few generated tokens."""
 
     def __init__(self, llm_pretrained: str):
         import torch
@@ -64,18 +126,47 @@ class HFJudge:
         self.model = AutoModelForCausalLM.from_pretrained(
             llm_pretrained, torch_dtype=torch.bfloat16, device_map="auto"
         )
+        prompt = self.tokenizer.apply_chat_template(
+            fewshot_prompt_conversation(), return_tensors="pt", return_dict=True
+        ).to(self.model.device)
+        with torch.no_grad():
+            out = self.model(**prompt, use_cache=True)
+        self.prompt_past_key_values = out.past_key_values
+        self.prompt_input_ids = prompt.input_ids
+        # the turn-terminator used to strip any auto-inserted system turn
+        # from incremental user fragments (reference hardcodes llama-3's
+        # <|eot_id|>=128009, `evaluate.py:61`)
+        self.eot_id = self.tokenizer.eos_token_id
 
-    def evaluate(self, question: str, gold: str, pred: str) -> int:
+    def _fragment_ids(self, question: str, gold: str, pred: str):
+        """Tokenize one (user turn, empty assistant header) fragment and
+        drop everything up to the end of the auto-inserted prefix turn and
+        the trailing terminator (reference `evaluate.py:55-62`)."""
         conversation = [
-            {"role": "system", "content": JUDGE_RUBRIC},
             {"role": "user", "content": judge_user_message(question, gold, pred)},
+            {"role": "assistant", "content": ""},
         ]
         ids = self.tokenizer.apply_chat_template(
-            conversation, add_generation_prompt=True, return_tensors="pt"
+            conversation, return_tensors="pt"
         ).to(self.model.device)
+        eots = (ids[0] == self.eot_id).nonzero()
+        if len(eots) > 1:  # an auto-inserted system/prefix turn precedes
+            ids = ids[:, int(eots[0, -1]) + 1 :]
+        return ids[:, :-1]  # drop the trailing turn terminator
+
+    def evaluate(self, question: str, gold: str, pred: str) -> int:
+        new_ids = self._fragment_ids(question, gold, pred)
+        all_ids = self.torch.cat([self.prompt_input_ids, new_ids], dim=1)
         with self.torch.no_grad():
-            out = self.model.generate(ids, max_new_tokens=8)
-        text = self.tokenizer.decode(out[0, ids.shape[1]:], skip_special_tokens=True).strip()
+            out = self.model.generate(
+                input_ids=all_ids,
+                past_key_values=self.prompt_past_key_values,
+                use_cache=True,
+                max_new_tokens=32,
+            )
+        text = self.tokenizer.decode(
+            out[0, all_ids.shape[1]:], skip_special_tokens=True
+        )
         return text_score_to_int(text)
 
 

@@ -17,7 +17,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .magqa import JUDGE_RUBRIC, judge_user_message, text_score_to_int
+from .magqa import JUDGE_SYSTEM_BATCH, judge_user_message, text_score_to_int
 
 
 def _pair_groups(pred_example: dict, gold_example: dict):
@@ -56,9 +56,11 @@ def build_batch_input(
                     (t == -1 or s[0] <= t <= s[1]) for s in spans for t in times
                 ):
                     continue
+                # reference custom_id format: qid*g0,g1*p0,p1
+                # (`test/openai_batch.py:97`, comma-joined turn ids)
                 custom_id = (
-                    f"{ex['question_id']}*{'_'.join(map(str, g_ids))}"
-                    f"*{'_'.join(map(str, p_ids))}"
+                    f"{ex['question_id']}*{','.join(map(str, g_ids))}"
+                    f"*{','.join(map(str, p_ids))}"
                 )
                 requests.append(
                     {
@@ -68,7 +70,7 @@ def build_batch_input(
                         "body": {
                             "model": model,
                             "messages": [
-                                {"role": "system", "content": JUDGE_RUBRIC},
+                                {"role": "system", "content": JUDGE_SYSTEM_BATCH},
                                 {
                                     "role": "user",
                                     "content": judge_user_message(question, g_text, p_text),
@@ -104,8 +106,8 @@ def reformat_batch_output(
             if not cid.startswith(prefix):
                 continue
             _, g_part, p_part = cid.split("*")
-            for gi in map(int, g_part.split("_")):
-                for pi in map(int, p_part.split("_")):
+            for gi in map(int, g_part.split(",")):
+                for pi in map(int, p_part.split(",")):
                     matrix[gi, pi] = score
         rec = dict(ex)
         rec.pop("debug_data", None)

@@ -230,3 +230,78 @@ class TestMagqa:
         res = analyze_magqa([], num_examples=4)
         assert res["in_span_score"] == 1.0
         assert res["turns"] == 0.0
+
+    def test_fewshot_judge_prompt_is_reference_identical(self):
+        """The local judge's conversation must be string-identical to the
+        reference's (`test/evaluate.py:18-48`): the rubric system turn
+        ending in 'Here are some examples to guide you:' followed by SIX
+        scored examples with scores 4,2,3,5,3,1."""
+        from mmduet_tpu.eval.magqa import (
+            JUDGE_FEWSHOT,
+            JUDGE_SYSTEM_BATCH,
+            JUDGE_SYSTEM_FEWSHOT,
+            fewshot_prompt_conversation,
+        )
+
+        conv = fewshot_prompt_conversation()
+        assert len(conv) == 13  # system + 6 * (user, assistant)
+        assert conv[0]["role"] == "system"
+        # pinned byte-level prefix/suffix of the reference system prompt
+        assert conv[0]["content"].startswith(
+            "You are an evaluator for a video question answering system."
+            " Your task is to rate the correctness of the predicted answers"
+            " against the ground truth answers."
+        )
+        assert conv[0]["content"].endswith(
+            "does not address the question at all.\n\n"
+            "Here are some examples to guide you:"
+        )
+        assert [t["content"] for t in conv[2::2]] == ["4", "2", "3", "5", "3", "1"]
+        assert conv[1]["content"] == (
+            "Question: What is shown about the black car?\n"
+            "Ground Truth Answer: At night a black car is parked in the open"
+            " space with its headlights on. The lights are very dazzling.\n"
+            "Predicted Answer: The car's headlights are on and dazzling."
+        )
+        assert conv[11]["content"].startswith(
+            "Question: What had changed between the beginning and the end"
+        )
+        assert len(JUDGE_FEWSHOT) == 6
+        # the batch variant uses the 0-shot 'Only reply' suffix instead
+        assert JUDGE_SYSTEM_BATCH.endswith(
+            "at all.\nOnly reply with a number from 1 to 5, and nothing else."
+        )
+        assert JUDGE_SYSTEM_FEWSHOT != JUDGE_SYSTEM_BATCH
+
+    def test_batch_custom_id_reference_format(self):
+        """custom_id must join turn ids with commas: qid*g0,g1*p0
+        (`test/openai_batch.py:97`), so reference-produced batch outputs
+        join back losslessly."""
+        from mmduet_tpu.eval.openai_batch import build_batch_input, reformat_batch_output
+
+        pred = [{
+            "question_id": "q1",
+            "model_response_list": [
+                {"role": "assistant", "content": "a cat", "time": 1.0},
+                {"role": "assistant", "content": "a cat", "time": 1.5},
+            ],
+        }]
+        gold = [{
+            "question_id": "q1",
+            "conversation": [{"role": "user", "content": "what?"}],
+            "answer": [
+                {"content": "a cat", "time": [0.0, 2.0]},
+                {"content": "a cat", "time": [1.0, 3.0]},
+            ],
+        }]
+        reqs = build_batch_input(pred, gold)
+        assert len(reqs) == 1
+        assert reqs[0]["custom_id"] == "q1*0,1*0,1"
+        sys_msg = reqs[0]["body"]["messages"][0]["content"]
+        assert sys_msg.endswith("Only reply with a number from 1 to 5, and nothing else.")
+        batch_out = [{
+            "custom_id": "q1*0,1*0,1",
+            "response": {"body": {"choices": [{"message": {"content": "4"}}]}},
+        }]
+        joined = reformat_batch_output(pred, gold, batch_out)
+        assert joined[0]["evaluator_output"] == [[4.0, 4.0], [4.0, 4.0]]
