@@ -51,10 +51,20 @@ class Collator:
             inf_tok = scatter_frame_labels(ids, vid, ft, inf)
             rel_tok = scatter_frame_labels(ids, vid, ft, rel)
             if len(ids) > self.seq_len:
-                raise ValueError(
-                    f"sample length {len(ids)} exceeds collator seq_len "
-                    f"{self.seq_len}; raise seq_len or lower max_num_frames"
-                )
+                # truncate at a frame boundary: drop any frame whose
+                # placeholder group would be split by the cut, and the
+                # corresponding trailing pixels/features
+                cut = self.seq_len
+                (v_pos,) = np.nonzero(ids[:cut] == vid)
+                complete = len(v_pos) // ft
+                if len(v_pos) % ft:
+                    cut = int(v_pos[complete * ft])
+                if frames is not None and len(frames) > complete:
+                    frames = frames[:complete]
+                ids = ids[:cut]
+                labels = labels[:cut]
+                inf_tok = inf_tok[:cut]
+                rel_tok = rel_tok[:cut]
             ids_list.append(ids)
             labels_list.append(labels)
             inf_list.append(inf_tok)

@@ -78,16 +78,22 @@ def chased_dp_assignment(scores: np.ndarray) -> Tuple[float, List[Tuple[int, int
             dp[i, j] = max(cands)
             path[i, j] = int(np.argmax(cands))
 
-    def get_pairs(i, j):
-        p = np.where(path[i][: j + 1] == 2)[0]
-        if i != 0 and not len(p):
-            return get_pairs(i - 1, j)
-        elif i == 0 or p[-1] == 0:
-            return [(i, int(p[-1]))]
+    # iterative backtrack over the choice matrix: 0 = drop reference row,
+    # 1 = drop candidate column, 2 = match (i, j) and step diagonally
+    pairs: List[Tuple[int, int]] = []
+    i, j = m - 1, n - 1
+    while i >= 0 and j >= 0:
+        move = path[i, j]
+        if move == 2:
+            pairs.append((i, j))
+            i -= 1
+            j -= 1
+        elif move == 0:
+            i -= 1
         else:
-            return get_pairs(i - 1, int(p[-1]) - 1) + [(i, int(p[-1]))]
-
-    return float(dp[m - 1, n - 1]), get_pairs(m - 1, n - 1)
+            j -= 1
+    pairs.reverse()
+    return float(dp[m - 1, n - 1]), pairs
 
 
 def evaluate_detections(

@@ -67,6 +67,7 @@ def char_ranges_to_token_labels(
     input_ids: np.ndarray,
     offsets: Sequence[Tuple[int, int]],
     learn_ranges: Sequence[range],
+    strict: bool = False,
 ) -> np.ndarray:
     """Convert char learn-ranges into pre-shifted LM label vector.
 
@@ -74,24 +75,38 @@ def char_ranges_to_token_labels(
     and the token starting at ``range.stop`` (or end-of-sequence for the
     final eos), then write ``labels[start-1:stop-1] = ids[start:stop]`` —
     the pre-shift contract of reference `data_collator.py:29-35`.
+
+    BPE can merge a range boundary into a neighboring token (e.g. an
+    assistant message starting with a newline glues onto the header's
+    trailing ``\\n``, forming one multi-char token). The reference
+    crashes on that (`data_collator.py:30` ``.item()`` on an empty
+    match); here, unless ``strict``, the boundary snaps to the token
+    CONTAINING the offset, so the span covers at most one extra merged
+    token instead of killing the batch.
     """
     ids = np.asarray(input_ids)
     labels = np.full_like(ids, IGNORE_INDEX)
     starts = np.array([o[0] for o in offsets])
-    for r in learn_ranges:
-        (start_idx,) = np.nonzero(starts == r.start)
-        if start_idx.size != 1:
+    ends = np.array([o[1] for o in offsets])
+
+    def token_starting_at(pos: int, what: str) -> int:
+        (idx,) = np.nonzero(starts == pos)
+        if idx.size >= 1:
+            return int(idx[0])
+        if strict:
             raise ValueError(
-                f"learn range start {r.start} does not align with a token boundary"
+                f"learn range {what} {pos} does not align with a token boundary"
             )
-        start = int(start_idx[0])
+        # boundary merged by BPE: snap to the token containing `pos`
+        (cover,) = np.nonzero((starts < pos) & (ends > pos))
+        if cover.size == 0:
+            raise ValueError(f"learn range {what} {pos} is outside the text")
+        return int(cover[0])
+
+    for r in learn_ranges:
+        start = token_starting_at(r.start, "start")
         if starts[-1] >= r.stop:
-            (stop_idx,) = np.nonzero(starts == r.stop)
-            if stop_idx.size != 1:
-                raise ValueError(
-                    f"learn range stop {r.stop} does not align with a token boundary"
-                )
-            stop = int(stop_idx[0])
+            stop = token_starting_at(r.stop, "stop")
         else:  # range ends at the very last token (its trailing eos)
             stop = len(ids)
         labels[start - 1 : stop - 1] = ids[start:stop]
