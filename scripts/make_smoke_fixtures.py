@@ -1,0 +1,95 @@
+"""Generate synthetic smoke fixtures for the four protocol scripts.
+
+Writes, under a target dir (default /tmp/mmduet_smoke):
+    videos/clip{0,1}.mp4         — tiny synthetic mp4s (cv2 VideoWriter)
+    youcook2.json                — DVC-style eval annos (question_id/video/
+                                   conversation + gold `answer` segments)
+    magqa.json                   — MAGQA-style annos (timed user turn +
+                                   timespanned gold answers)
+    charades.json                — grounding annos (query + `timestamps`)
+    qvh.json / qvh_gold.jsonl    — QVH eval annos + official-format gold
+
+Usage:  python scripts/make_smoke_fixtures.py [out_dir]
+Then:   TINY_RANDOM=1 OUTPUT_DIR=/tmp/smoke_out \
+          INPUT_DIR=<out_dir>/videos TEST_FNAME=<out_dir>/youcook2.json \
+          bash scripts/eval_youcook2.sh
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def write_video(path: str, seconds: int = 8, fps: int = 10, w: int = 64, h: int = 48):
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert writer.isOpened(), f"VideoWriter failed for {path}"
+    r = np.random.RandomState(hash(path) % 2**31)
+    for i in range(seconds * fps):
+        frame = r.randint(0, 255, (h, w, 3), np.uint8)
+        writer.write(frame)
+    writer.release()
+
+
+def main(out_dir: str = "/tmp/mmduet_smoke"):
+    os.makedirs(os.path.join(out_dir, "videos"), exist_ok=True)
+    vids = []
+    for i in range(2):
+        name = f"clip{i}.mp4"
+        write_video(os.path.join(out_dir, "videos", name))
+        vids.append(name)
+
+    def q(i, video, conversation, **extra):
+        return {"question_id": f"q{i}", "video": video,
+                "conversation": conversation, **extra}
+
+    youcook2 = [
+        q(i, v,
+          [{"role": "user", "content": "Please concisely narrate the video in real time.", "time": 0}],
+          answer=[
+              {"content": "The first step happens.", "time": [0.0, 3.0]},
+              {"content": "The second step happens.", "time": [3.0, 7.0]},
+          ])
+        for i, v in enumerate(vids)
+    ]
+    magqa = [
+        q(i, v,
+          [{"role": "user", "content": "What is happening?", "time": 1.0}],
+          answer=[{"content": "Something moves.", "time": [1.0, 4.0]}])
+        for i, v in enumerate(vids)
+    ]
+    charades = [
+        q(i, v,
+          [{"role": "user", "content": "a person moves around", "time": 0}],
+          timestamps=[[2.0, 5.0]], duration=8.0)
+        for i, v in enumerate(vids)
+    ]
+    qvh = [
+        q(i, v,
+          [{"role": "user", "content": "interesting moments", "time": 0}],
+          duration=8.0)
+        for i, v in enumerate(vids)
+    ]
+    qvh_gold = [
+        {"qid": f"q{i}", "duration": 8.0, "relevant_clip_ids": [1, 2],
+         "saliency_scores": [[2, 3, 2], [4, 3, 4]]}
+        for i in range(2)
+    ]
+
+    for name, obj in (
+        ("youcook2.json", youcook2), ("magqa.json", magqa),
+        ("charades.json", charades), ("qvh.json", qvh),
+    ):
+        with open(os.path.join(out_dir, name), "w") as f:
+            json.dump(obj, f, indent=1)
+    with open(os.path.join(out_dir, "qvh_gold.jsonl"), "w") as f:
+        for line in qvh_gold:
+            f.write(json.dumps(line) + "\n")
+    print(f"fixtures written to {out_dir}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
