@@ -1,0 +1,326 @@
+"""Offline preprocessing tools: re-encode videos + pre-extract features.
+
+Rebuild of the reference's offline pipeline (`data/utils.py:63-117`):
+
+- :func:`ffmpeg_once` — same ffmpeg CLI contract (skip-if-exists, strip
+  audio, fps resample, aspect-preserving scale + centered pad), with a
+  cv2 fallback (:func:`reencode_video_cv2`) for hosts without an ffmpeg
+  binary;
+- :func:`sharded_reencode` — batch re-encode sharded by host index
+  (replaces the reference's submitit/SLURM sharding,
+  `data/utils.py:81-97`: on a TPU pod, pass ``num_shards=jax.process_count()``
+  and ``shard_index=jax.process_index()``, or drive with GNU parallel);
+- :func:`extract_features` / :func:`sharded_extract` — decode each video
+  and run the SigLIP tower, saving per-video patch features as ``.npy``
+  (the reference saves ``.pt``, `data/utils.py:99-117`). Saved features
+  are RAW tower patches (N, num_patches, vision_hidden): the training
+  collator consumes them as ``vision_feats`` (projector + pooling stay
+  inside the differentiated step) and the engine consumes them via
+  ``input_vision_feats`` (projector + pooling applied on device once).
+
+CLI:
+    python -m mmduet_tpu.data.preprocess reencode --src_root d/videos \\
+        --fps 2 --resolution 384 [--num_shards 8 --shard_index 0]
+    python -m mmduet_tpu.data.preprocess encode --src_root d/videos_2fps_max384 \\
+        --checkpoint <ckpt> --fps 2 [--batch_size 32] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+from typing import Callable, List, Optional
+
+import numpy as np
+
+VIDEO_EXTS = (".mp4", ".mkv", ".avi", ".webm", ".mov")
+
+
+def ffmpeg_once(
+    src_path: str,
+    dst_path: str,
+    *,
+    fps: Optional[int] = None,
+    resolution: Optional[int] = None,
+    pad: str = "#000000",
+    mode: str = "bicubic",
+    ffmpeg_bin: str = "ffmpeg",
+) -> None:
+    """Re-encode one video (same CLI contract as reference
+    `data/utils.py:63-79`): ``-n`` skip-if-exists, audio stripped, optional
+    fps resample and aspect-preserving scale to ``resolution`` with
+    centered padding."""
+    os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+    command = [
+        ffmpeg_bin,
+        "-n",  # skip if target file exists
+        "-sws_flags", mode,
+        "-i", src_path,
+        "-an",
+        "-threads", "10",
+    ]
+    if fps is not None:
+        command += ["-r", str(fps)]
+    if resolution is not None:
+        assert pad is not None
+        command += [
+            "-vf",
+            f"scale='if(gt(iw\\,ih)\\,{resolution}\\,-2)':'if(gt(iw\\,ih)\\,-2\\,{resolution})'"
+            f",pad={resolution}:{resolution}:(ow-iw)/2:(oh-ih)/2:color='{pad}'",
+        ]
+    command += [dst_path]
+    subprocess.run(command, check=True)
+
+
+def reencode_video_cv2(
+    src_path: str,
+    dst_path: str,
+    *,
+    fps: Optional[int] = None,
+    resolution: Optional[int] = None,
+) -> None:
+    """cv2 fallback with the same semantics (fps resample via wall-clock
+    selection, letterbox to a square canvas). Skips if dst exists."""
+    import cv2
+
+    from .video import letterbox
+
+    if os.path.exists(dst_path):
+        return
+    os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+    cap = cv2.VideoCapture(src_path)
+    in_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    out_fps = fps if fps is not None else in_fps
+    size = None
+    writer = None
+    cur, next_t = 0.0, 0.0
+    tmp = dst_path + ".tmp.mp4"
+    while cap.isOpened():
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if cur + 1e-9 >= next_t:
+            if resolution is not None:
+                frame = letterbox(frame, resolution)
+            if writer is None:
+                size = (frame.shape[1], frame.shape[0])
+                writer = cv2.VideoWriter(
+                    tmp, cv2.VideoWriter_fourcc(*"mp4v"), out_fps, size
+                )
+            writer.write(frame)
+            next_t += 1.0 / out_fps
+        cur += 1.0 / in_fps
+    cap.release()
+    if writer is None:
+        raise ValueError(f"no frames decoded from {src_path}")
+    writer.release()
+    os.replace(tmp, dst_path)
+
+
+def _have_ffmpeg(ffmpeg_bin: str) -> bool:
+    try:
+        subprocess.run(
+            [ffmpeg_bin, "-version"], capture_output=True, check=True
+        )
+        return True
+    except Exception:
+        return False
+
+
+def list_videos(src_root: str) -> List[str]:
+    pather = pathlib.Path(src_root)
+    return sorted(
+        str(p) for p in pather.rglob("*")
+        if p.is_file() and p.suffix.lower() in VIDEO_EXTS
+    )
+
+
+def dst_root_for(src_root: str, fps: Optional[int], resolution: Optional[int]) -> str:
+    """Reference naming: ``videos`` -> ``videos_2fps_max384``
+    (`data/utils.py:88-92`)."""
+    dst = src_root.rstrip("/")
+    if fps is not None:
+        dst += f"_{fps}fps"
+    if resolution is not None:
+        dst += f"_max{resolution}"
+    return dst
+
+
+def sharded_reencode(
+    src_root: str,
+    *,
+    fps: Optional[int] = None,
+    resolution: Optional[int] = None,
+    pad: str = "#000000",
+    mode: str = "bicubic",
+    num_shards: int = 1,
+    shard_index: int = 0,
+    ffmpeg_bin: str = "ffmpeg",
+) -> str:
+    """Re-encode every video under ``src_root`` (this shard's slice) into
+    the derived dst root. Returns the dst root."""
+    src_root = src_root.rstrip("/")
+    dst_root = dst_root_for(src_root, fps, resolution)
+    use_ffmpeg = _have_ffmpeg(ffmpeg_bin)
+    for i, src in enumerate(list_videos(src_root)):
+        if i % num_shards != shard_index:
+            continue
+        dst = src.replace(src_root, dst_root)
+        if use_ffmpeg:
+            ffmpeg_once(
+                src, dst, fps=fps, resolution=resolution, pad=pad, mode=mode,
+                ffmpeg_bin=ffmpeg_bin,
+            )
+        else:
+            reencode_video_cv2(dst_path=dst, src_path=src, fps=fps, resolution=resolution)
+    return dst_root
+
+
+def extract_features(
+    video_path: str,
+    vision_params,
+    vision_cfg,
+    *,
+    output_fps: float,
+    resolution: int,
+    batch_size: int = 32,
+    max_num_frames: Optional[int] = None,
+    dtype=None,
+):
+    """Decode one video and run the SigLIP tower → raw patch features
+    (T, num_patches, vision_hidden) as a numpy array."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.siglip import normalize_pixels, siglip_encode
+    from .video import decode_video
+
+    dtype = dtype or jnp.float32
+    frames, fps, duration = decode_video(
+        video_path, output_fps=output_fps, resolution=resolution,
+        max_num_frames=max_num_frames,
+    )
+
+    @jax.jit
+    def encode(px_u8):
+        px = normalize_pixels(px_u8).astype(dtype)
+        return siglip_encode(vision_params, vision_cfg, px)
+
+    chunks = []
+    T = frames.shape[0]
+    for i in range(0, T, batch_size):
+        batch = frames[i : i + batch_size]
+        n = batch.shape[0]
+        if n < batch_size:  # pad to the single compiled batch shape
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)]
+            )
+        chunks.append(np.asarray(encode(jnp.asarray(batch))[:n], np.float32))
+    feats = np.concatenate(chunks, axis=0)
+    return feats, fps, duration
+
+
+def sharded_extract(
+    src_root: str,
+    vision_params,
+    vision_cfg,
+    *,
+    output_fps: float,
+    resolution: int,
+    embed_mark: str = "local",
+    model_tag: str = "siglip",
+    batch_size: int = 32,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    save_bf16: bool = False,
+) -> str:
+    """Feature-extract every video under ``src_root`` (this shard's
+    slice) to ``<src_root>_<mark>_<model_tag>/<name>.npy`` + a sidecar
+    ``.json`` with fps/duration (reference dst naming,
+    `data/utils.py:104`). Returns the dst root."""
+    src_root = src_root.rstrip("/")
+    dst_root = f"{src_root}_{embed_mark.split('_')[-1]}_{model_tag.replace('/', '--')}"
+    os.makedirs(dst_root, exist_ok=True)
+    for i, src in enumerate(list_videos(src_root)):
+        if i % num_shards != shard_index:
+            continue
+        rel = os.path.relpath(src, src_root)
+        dst = os.path.join(dst_root, os.path.splitext(rel)[0] + ".npy")
+        if os.path.exists(dst):
+            continue
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        feats, fps, duration = extract_features(
+            src, vision_params, vision_cfg,
+            output_fps=output_fps, resolution=resolution, batch_size=batch_size,
+        )
+        if save_bf16:  # stored compact; loaded back as f32/bf16 by jnp
+            import ml_dtypes
+
+            feats = feats.astype(ml_dtypes.bfloat16)
+        np.save(dst + ".tmp.npy", feats)
+        os.replace(dst + ".tmp.npy", dst)
+        with open(os.path.splitext(dst)[0] + ".json", "w") as f:
+            json.dump({"fps": fps, "duration": duration, "src": rel}, f)
+    return dst_root
+
+
+def load_features(path: str) -> np.ndarray:
+    """Load a pre-extracted feature file (f32 or bf16-packed)."""
+    feats = np.load(path)
+    if feats.dtype != np.float32:
+        feats = feats.astype(np.float32)
+    return feats
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="MMDuet-TPU offline preprocessing")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("reencode", help="fps/resolution re-encode a video tree")
+    r.add_argument("--src_root", required=True)
+    r.add_argument("--fps", type=int, default=None)
+    r.add_argument("--resolution", type=int, default=None)
+    r.add_argument("--pad", default="#000000")
+    r.add_argument("--mode", default="bicubic")
+    r.add_argument("--num_shards", type=int, default=1)
+    r.add_argument("--shard_index", type=int, default=0)
+    r.add_argument("--ffmpeg_bin", default="ffmpeg")
+
+    e = sub.add_parser("encode", help="pre-extract SigLIP features")
+    e.add_argument("--src_root", required=True)
+    e.add_argument("--checkpoint", required=True,
+                   help="converted checkpoint dir (for the vision tower)")
+    e.add_argument("--fps", type=float, required=True)
+    e.add_argument("--resolution", type=int, default=384)
+    e.add_argument("--embed_mark", default="local")
+    e.add_argument("--batch_size", type=int, default=32)
+    e.add_argument("--num_shards", type=int, default=1)
+    e.add_argument("--shard_index", type=int, default=0)
+    e.add_argument("--bf16", action="store_true")
+
+    args = p.parse_args(argv)
+    if args.cmd == "reencode":
+        dst = sharded_reencode(
+            args.src_root, fps=args.fps, resolution=args.resolution,
+            pad=args.pad, mode=args.mode, num_shards=args.num_shards,
+            shard_index=args.shard_index, ffmpeg_bin=args.ffmpeg_bin,
+        )
+    else:
+        from ..models.io import load_checkpoint
+
+        cfg, params, _ = load_checkpoint(args.checkpoint)
+        dst = sharded_extract(
+            args.src_root, params["vision"], cfg.vision,
+            output_fps=args.fps, resolution=args.resolution,
+            embed_mark=args.embed_mark, model_tag="siglip",
+            batch_size=args.batch_size, num_shards=args.num_shards,
+            shard_index=args.shard_index, save_bf16=args.bf16,
+        )
+    print(f"done -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

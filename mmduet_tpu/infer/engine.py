@@ -256,10 +256,21 @@ class LiveInferEngine:
         self._next_frame = 0
 
     def input_frame_embeds(self, frame_embeds: jnp.ndarray) -> None:
-        """Pre-extracted features path (reference supports feature files)."""
+        """Post-projector frame embeddings (T, frame_tokens, H)."""
         self.frame_embeds = jnp.asarray(frame_embeds, self.dtype)
         self.frame_times = [i / self.frame_fps for i in range(len(frame_embeds))]
         self._next_frame = 0
+
+    def input_vision_feats(self, feats) -> None:
+        """Pre-extracted RAW SigLIP patch features (T, P, C) — the format
+        `mmduet_tpu.data.preprocess` writes (reference `.pt` feature
+        files, `data/utils.py:99-117`). Projector + pooling run on device
+        once here."""
+        feats = jnp.asarray(feats, self.dtype)
+        embeds = mmduet.spatial_pool(
+            mmduet.project(self.params, feats), self.cfg
+        )
+        self.input_frame_embeds(embeds)
 
     def input_query_stream(self, conversation: Sequence[dict]) -> None:
         for turn in conversation:
