@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--repetition_penalty", type=float, default=None)
     p.add_argument("--max_new_tokens", type=int, default=200)
     p.add_argument("--time_instruction_format", type=str, default=None)
+    p.add_argument("--is_online_model", type=lambda s: s.lower() == "true",
+                   default=True,
+                   help="false = offline whole-video baseline "
+                        "(reference test/inference.py:382-423)")
     p.add_argument("--no_prefetch", action="store_true")
     return p
 
@@ -131,6 +135,8 @@ def main(argv=None) -> None:
         system_prompt=args.system_prompt,
         time_instruction_format=args.time_instruction_format,
     )
+    if not args.is_online_model:
+        return _run_offline_baseline(args, dataset)
     engine = build_engine(args)
 
     n_done = 0
@@ -164,6 +170,69 @@ def main(argv=None) -> None:
                 f_out.flush()
     dt = time.perf_counter() - t_start
     print(f"done: {n_done} samples in {dt:.1f}s -> {args.output_fname}")
+
+
+def _run_offline_baseline(args, dataset) -> None:
+    """Whole-video non-streaming baseline (reference
+    `test/inference.py:382-423`): one greedy answer per sample; output
+    schema {question_id, model_response, question, video_duration}."""
+    import jax
+
+    from ..config import TestArgs, tiny_config
+    from ..models import init_mmduet_params
+    from ..models.io import load_checkpoint
+    from ..stream import CharTokenizer, HFTokenizerAdapter
+    from .offline_baseline import OfflineBaselineRunner
+
+    lora = None
+    if args.tiny_random:
+        cfg = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
+        params = init_mmduet_params(jax.random.PRNGKey(0), cfg)
+        tokenizer = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    elif args.checkpoint:
+        cfg, params, lora = load_checkpoint(args.checkpoint)
+        tokenizer = HFTokenizerAdapter.from_pretrained(
+            args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
+            v_placeholder=cfg.v_placeholder,
+        )
+    else:
+        raise SystemExit("one of --checkpoint or --tiny_random is required")
+
+    test_args = TestArgs(
+        frame_fps=args.frame_fps,
+        frame_resolution=args.frame_resolution,
+        max_num_frames=args.max_num_frames,
+        repetition_penalty=args.repetition_penalty,
+        max_new_tokens=args.max_new_tokens,
+        stream_end_prob_threshold=1.0,
+    )
+    runner = OfflineBaselineRunner(params, cfg, tokenizer, test_args, lora=lora)
+
+    n_done = 0
+    t_start = time.perf_counter()
+    samples = dataset if args.no_prefetch else dataset.prefetch()
+    with open(args.output_fname, "w") as f_out:
+        for i, sample in enumerate(samples):
+            if sample.frames is None:
+                print(f"skipping {sample.question_id}: {sample.error}", file=sys.stderr)
+                continue
+            runner.set_fps(fps=sample.fps)
+            question = next(
+                t["content"] for t in sample.conversation if t["role"] == "user"
+            )
+            text = runner.answer(sample.frames, question)
+            res = {
+                "question_id": sample.question_id,
+                "model_response": [text],
+                "question": question,
+                "video_duration": sample.video_duration,
+            }
+            f_out.write(json.dumps(res) + "\n")
+            n_done += 1
+            if i % 10 == 0:
+                f_out.flush()
+    dt = time.perf_counter() - t_start
+    print(f"baseline done: {n_done} samples in {dt:.1f}s -> {args.output_fname}")
 
 
 if __name__ == "__main__":
