@@ -9,11 +9,15 @@ are large binary blobs. This module reimplements the stack self-contained:
 - :class:`Cider` — faithful reimplementation of the published CIDEr-D-less
   CIDEr algorithm (TF-IDF n-gram cosine, n=1..4, sigma=6, ×10) matching
   pycocoevalcap's `cider_scorer.py` semantics;
-- :class:`Meteor` — METEOR with exact + Porter-stem matching stages and
-  the classic parameters (α=0.9, β=3, γ=0.5). NOTE: this is the METEOR
-  algorithm, not a bit-exact clone of meteor-1.5.jar (which adds
-  paraphrase tables and tuned weights); scores are comparable but not
-  identical. If the jar is present on disk a caller can prefer it.
+- :class:`Meteor` — METEOR with exact + Porter-stem matching stages,
+  cross-checked against nltk's independent implementation (same classic
+  parameters α=0.9, β=3, γ=0.5; see tests). NOT a bit-exact clone of
+  meteor-1.5.jar (which adds WordNet/paraphrase matchers and tuned
+  weights) — that drift is unquantifiable without the jar;
+- :class:`MeteorJar` — the jar-subprocess backend speaking the
+  reference's exact stdio protocol; :func:`make_meteor` selects it
+  automatically when $METEOR_JAR points at meteor-1.5.jar, restoring
+  jar-exact YouCook2 METEOR / SODA_c numbers.
 """
 
 from __future__ import annotations
@@ -234,63 +238,140 @@ def porter_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# METEOR (exact + stem stages)
+# METEOR (exact + stem stages, METEOR-1.5 scoring model)
 # ---------------------------------------------------------------------------
+
+# Common English function words (articles, prepositions, conjunctions,
+# pronouns, auxiliaries). METEOR 1.5 derives its list from corpus
+# frequency (relative freq > 1e-3); this hand-written list covers the
+# same closed-class vocabulary but is not byte-identical to the jar's
+# `function.words` file.
+FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no
+    i you he she it we they me him her us them my your his its our their
+    mine yours hers ours theirs myself yourself himself herself itself
+    ourselves themselves who whom whose which what
+    in on at by for with about against between into through during before
+    after above below to from up down out off over under again further of
+    and or but nor so yet as if than because while where when why how
+    be am is are was were been being have has had having do does did doing
+    will would shall should may might must can could
+    not only just also very too then there here all both few more most
+    other such own same s t don now""".split()
+)
 
 
 class Meteor:
-    """METEOR with exact and Porter-stem matching. compute_score mirrors the
-    pycocoevalcap interface: (corpus_score, per_image_scores)."""
+    """Pure-python METEOR with exact + Porter-stem matchers: weighted
+    precision/recall with optional content/function-word discounting
+    (delta), matcher weights, and the fragmentation penalty.
 
-    def __init__(self, alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5):
-        self.alpha, self.beta, self.gamma = alpha, beta, gamma
+    Defaults are the CLASSIC, independently verifiable parameters
+    (alpha=0.9, beta=3, gamma=0.5, no word-class discrimination — the
+    Lavie-Agarwal formulation that nltk's meteor_score also implements,
+    so behavior is cross-checkable offline). The meteor-1.5 ranking-task
+    parameterization is available as :meth:`meteor15`, but its absolute
+    scale CANNOT be validated in this environment (no jar, no java), so
+    it is not the default.
 
-    def _align(self, hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-        """Greedy two-stage alignment → (num_matches, num_chunks)."""
-        n = len(hyp)
-        match_to = [-1] * n  # hyp idx -> ref idx
+    vs meteor-1.5.jar: the synonym (WordNet) and paraphrase-table
+    matchers are absent and the function-word list is a clean-room
+    equivalent — scores are comparable, not bit-identical, and the drift
+    is UNQUANTIFIED here. For jar-exact protocol numbers provide the jar:
+    :class:`MeteorJar` speaks the reference's exact stdio contract
+    (`test/dvc/metrics/meteor.py:39-65`) and is preferred automatically
+    by :func:`make_meteor` when $METEOR_JAR points at a jar.
+
+    compute_score mirrors the pycocoevalcap interface:
+    (corpus_score, per_image_scores)."""
+
+    def __init__(self, alpha: float = 0.9, beta: float = 3.0,
+                 gamma: float = 0.5, delta: float = 0.5,
+                 w_exact: float = 1.0, w_stem: float = 1.0):
+        self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
+        self.w_exact, self.w_stem = w_exact, w_stem
+
+    @classmethod
+    def meteor15(cls) -> "Meteor":
+        """The meteor-1.5 English ranking-task tuning (alpha=0.85,
+        beta=0.2, gamma=0.6, delta=0.75, stem weight 0.6). Absolute
+        scores sit on a different scale than the classic parameters
+        (e.g. an exact match incurs a substantial fragmentation penalty:
+        gamma*(1/m)^beta)."""
+        return cls(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+                   w_exact=1.0, w_stem=0.6)
+
+    def _align(self, hyp: List[str], ref: List[str]):
+        """Greedy two-stage alignment → list of (hyp_i, ref_j, matcher_w)."""
+        match_to = [-1] * len(hyp)  # hyp idx -> ref idx
+        match_w = [0.0] * len(hyp)
         used = [False] * len(ref)
         # stage 1: exact
         for i, hw in enumerate(hyp):
             for j, rw in enumerate(ref):
                 if not used[j] and hw == rw:
-                    match_to[i], used[j] = j, True
+                    match_to[i], match_w[i], used[j] = j, self.w_exact, True
                     break
         # stage 2: stem
         hyp_stem = [porter_stem(w) for w in hyp]
         ref_stem = [porter_stem(w) for w in ref]
-        for i in range(n):
+        for i in range(len(hyp)):
             if match_to[i] >= 0:
                 continue
             for j in range(len(ref)):
                 if not used[j] and hyp_stem[i] == ref_stem[j]:
-                    match_to[i], used[j] = j, True
+                    match_to[i], match_w[i], used[j] = j, self.w_stem, True
                     break
-        matches = sum(1 for m in match_to if m >= 0)
-        # chunks: maximal runs of adjacent matches in both strings
+        return match_to, match_w
+
+    @staticmethod
+    def _chunks(match_to: List[int]) -> int:
+        """Maximal runs of adjacent matches in both strings."""
         chunks = 0
         prev = None
-        for i in range(n):
-            if match_to[i] < 0:
+        for m in match_to:
+            if m < 0:
                 prev = None
                 continue
-            if prev is None or match_to[i] != prev + 1:
+            if prev is None or m != prev + 1:
                 chunks += 1
-            prev = match_to[i]
-        return matches, chunks
+            prev = m
+        return chunks
+
+    def _word_weight(self, w: str) -> float:
+        return self.delta if w not in FUNCTION_WORDS else 1.0 - self.delta
 
     def _score_pair(self, hyp: str, ref: str) -> float:
         h, r = hyp.split(), ref.split()
         if not h or not r:
             return 0.0
-        m, ch = self._align(h, r)
+        match_to, match_w = self._align(h, r)
+        m = sum(1 for x in match_to if x >= 0)
         if m == 0:
             return 0.0
-        p = m / len(h)
-        rec = m / len(r)
+        # delta-weighted precision / recall (content words count delta,
+        # function words 1-delta; matcher weight scales each match)
+        p_num = sum(
+            w * self._word_weight(h[i])
+            for i, (j, w) in enumerate(zip(match_to, match_w)) if j >= 0
+        )
+        r_num = sum(
+            w * self._word_weight(r[j])
+            for j, w in ((match_to[i], match_w[i]) for i in range(len(h)))
+            if j >= 0
+        )
+        p_den = sum(self._word_weight(w) for w in h)
+        r_den = sum(self._word_weight(w) for w in r)
+        if p_num == 0 or r_num == 0:
+            return 0.0
+        p = p_num / p_den
+        rec = r_num / r_den
         fmean = p * rec / (self.alpha * p + (1 - self.alpha) * rec)
-        penalty = self.gamma * (ch / m) ** self.beta
+        penalty = self.gamma * (self._chunks(match_to) / m) ** self.beta
         return fmean * (1 - penalty)
+
+    def _score_entry(self, hyp: str, refs: List[str]) -> float:
+        return max(self._score_pair(hyp, r) for r in refs)
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
         assert sorted(gts.keys()) == sorted(res.keys())
@@ -298,6 +379,75 @@ class Meteor:
         for k in gts:
             hyp = Cider._caps(res[k])[0]
             refs = Cider._caps(gts[k])
-            scores.append(max(self._score_pair(hyp, r) for r in refs))
+            scores.append(self._score_entry(hyp, refs))
         scores = np.array(scores)
         return float(scores.mean()) if len(scores) else 0.0, scores
+
+
+class MeteorJar:
+    """meteor-1.5.jar subprocess backend: the reference's exact stdio
+    protocol (`test/dvc/metrics/meteor.py:39-65`) — one persistent
+    ``java -jar meteor-1.5.jar - - -stdio -l en -norm`` process, SCORE
+    lines producing stat strings, one EVAL line producing per-image
+    scores + the aggregate. Use when the jar is available to get
+    bit-exact protocol numbers; ``cmd`` is overridable for testing."""
+
+    def __init__(self, jar_path: str = None, java_bin: str = "java",
+                 cmd: List[str] = None):
+        import subprocess
+        import threading
+
+        if cmd is None:
+            import os
+
+            jar = jar_path or os.environ.get("METEOR_JAR", "meteor-1.5.jar")
+            assert os.path.exists(jar), f"meteor jar not found: {jar}"
+            cmd = [java_bin, "-jar", "-Xmx2G", jar, "-", "-", "-stdio",
+                   "-l", "en", "-norm"]
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE
+        )
+        self.lock = threading.Lock()
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
+        with self.lock:
+            assert sorted(gts.keys()) == sorted(res.keys())
+            img_ids = sorted(gts.keys())
+            stats = []
+            for k in img_ids:
+                hyp = Cider._caps(res[k])[0].replace("|||", "").replace("  ", " ")
+                refs = Cider._caps(gts[k])
+                line = " ||| ".join(("SCORE", " ||| ".join(refs), hyp))
+                self.proc.stdin.write((line + "\n").encode())
+                self.proc.stdin.flush()
+                stats.append(self.proc.stdout.readline().decode().strip())
+            eval_line = "EVAL ||| " + " ||| ".join(stats)
+            self.proc.stdin.write((eval_line + "\n").encode())
+            self.proc.stdin.flush()
+            scores = [
+                float(self.proc.stdout.readline().decode()) for _ in img_ids
+            ]
+            aggregate = float(self.proc.stdout.readline().decode())
+        return aggregate, np.asarray(scores)
+
+    def _score_entry(self, hyp: str, refs: List[str]) -> float:
+        _, per = self.compute_score({0: refs}, {0: [hyp]})
+        return float(per[0])
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.terminate()
+        except Exception:
+            pass
+
+
+def make_meteor(jar_path: str = None) -> object:
+    """Prefer the jar backend when a jar is present (explicit path or
+    $METEOR_JAR); otherwise the pure-python scorer."""
+    import os
+
+    jar = jar_path or os.environ.get("METEOR_JAR")
+    if jar and os.path.exists(jar):
+        return MeteorJar(jar_path=jar)
+    return Meteor()

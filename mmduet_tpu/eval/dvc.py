@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .captioning import Cider, Meteor, ptb_tokenize
+from .captioning import Cider, make_meteor, ptb_tokenize
 from .span_utils import span_iou
 
 IOU_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
@@ -177,7 +177,9 @@ def eval_dense_captioning(
     gold_out: [{'image_id', 'segments', 'pure_cap'}] (reference gold JSON).
     Returns {SODA_c, CIDEr, METEOR, Precision@avg, Recall@avg, F1} ×100."""
     random.seed(seed)
-    cider, meteor = Cider(), Meteor()
+    # make_meteor prefers the meteor-1.5.jar subprocess backend when a
+    # jar is available ($METEOR_JAR), restoring jar-exact protocol scores
+    cider, meteor = Cider(), make_meteor()
 
     precisions, recalls = [], []
     soda_scores = []

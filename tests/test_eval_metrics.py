@@ -305,3 +305,73 @@ class TestMagqa:
         }]
         joined = reformat_batch_output(pred, gold, batch_out)
         assert joined[0]["evaluator_output"] == [[4.0, 4.0], [4.0, 4.0]]
+
+
+class TestMeteorFidelity:
+    """Cross-check the pure-python METEOR against an independent
+    implementation (nltk's meteor_score, same Lavie-Agarwal parameters)
+    on pairs fully resolvable by the exact+stem stages, and validate the
+    jar-subprocess backend's stdio protocol against a scripted fake jar."""
+
+    PAIRS = [
+        ("the cat sat on the mat", "the cat sat on the mat"),
+        ("the cats sat on the mat", "the cat sat on the mats"),  # stem stage
+        ("sat the cat", "the cat sat"),  # reordering -> chunk penalty
+        ("dogs running", "dog runs"),
+        ("a man is cutting the vegetables", "the man cut a vegetable is"),
+    ]
+
+    def test_matches_nltk_reference_scores(self):
+        nltk_translate = pytest.importorskip("nltk.translate.meteor_score")
+        ours = Meteor()
+        for hyp, ref in self.PAIRS:
+            expect = nltk_translate.meteor_score(
+                [ref.split()], hyp.split()
+            )
+            got = ours._score_pair(hyp, ref)
+            assert got == pytest.approx(expect, abs=1e-6), (hyp, ref)
+
+    def test_meteor15_preset_scale(self):
+        from mmduet_tpu.eval.captioning import Meteor as M
+
+        m15 = M.meteor15()
+        perfect = m15._score_pair("the cat sat", "the cat sat")
+        # 1.5 ranking params put even exact matches well below 1.0
+        # (penalty gamma*(1/m)^beta) but order must be preserved
+        partial = m15._score_pair("the cat sat", "a dog stood up")
+        assert 0.0 <= partial < perfect < 1.0
+
+    def test_jar_backend_stdio_protocol(self, tmp_path):
+        """MeteorJar must speak the reference jar contract
+        (`test/dvc/metrics/meteor.py:39-65`): N SCORE lines -> N stat
+        lines; one EVAL line -> N per-image scores then the aggregate."""
+        import sys
+
+        from mmduet_tpu.eval.captioning import MeteorJar
+
+        fake = tmp_path / "fake_meteor.py"
+        fake.write_text(
+            "import sys\n"
+            "stats = []\n"
+            "for line in sys.stdin:\n"
+            "    line = line.strip()\n"
+            "    if line.startswith('SCORE ||| '):\n"
+            "        parts = line.split(' ||| ')\n"
+            "        nref, hyp = len(parts) - 2, parts[-1]\n"
+            "        sys.stdout.write(f'{len(hyp.split())} {nref}\\n')\n"
+            "        sys.stdout.flush()\n"
+            "    elif line.startswith('EVAL ||| '):\n"
+            "        stats = line[len('EVAL ||| '):].split(' ||| ')\n"
+            "        vals = [float(s.split()[0]) / 10 for s in stats]\n"
+            "        for v in vals:\n"
+            "            sys.stdout.write(f'{v}\\n')\n"
+            "        sys.stdout.write(f'{sum(vals)/len(vals)}\\n')\n"
+            "        sys.stdout.flush()\n"
+        )
+        jar = MeteorJar(cmd=[sys.executable, str(fake)])
+        gts = {"a": ["ref one", "ref two"], "b": ["other ref"]}
+        res = {"a": ["three word hyp"], "b": ["two words"]}
+        agg, per = jar.compute_score(gts, res)
+        np.testing.assert_allclose(per, [0.3, 0.2])  # len(hyp.split())/10
+        assert agg == pytest.approx(0.25)
+        jar.close()
