@@ -248,6 +248,26 @@ def peak_hbm_gb():
         return None
 
 
+def measure_rtt_ms(n: int = 20) -> float:
+    """Flat dispatch + scalar-fetch round-trip of a trivial op. On a
+    tunneled chip (axon) this is ~tens of ms and is a fixed additive
+    term in any per-step latency that reads a score back; on a directly
+    attached chip it is ~0.1 ms. Reported so single-step numbers can be
+    decomposed into tunnel RTT + on-chip work."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,))
+    float(f(x)[0])
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        ts.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(ts, 50))
+
+
 def main():
     layers = 28
     try:
@@ -262,7 +282,7 @@ def main():
         lat, single = run_score(params, text, cfg)
         tag = "3.5b"
 
-    extra = {}
+    extra = {"dispatch_rtt_ms": round(measure_rtt_ms(), 2)}
     try:
         extra["generation_tok_s"] = round(run_generation(params, text, cfg), 1)
     except Exception as e:
@@ -280,11 +300,16 @@ def main():
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))
     single_p50 = float(np.percentile(single, 50))
+    # on-chip single-step work = measured latency minus the flat tunnel
+    # round-trip every scalar readback pays in this environment
+    single_onchip = max(single_p50 - extra["dispatch_rtt_ms"], 0.0)
     fps = 1000.0 / p50
     print(
         f"layers={layers} frames={len(lat)} block={BLOCK} "
         f"p50={p50:.2f}ms p90={p90:.2f}ms ~{fps:.1f} frames/s | "
-        f"single-step p50={single_p50:.2f}ms | {extra}",
+        f"single-step p50={single_p50:.2f}ms "
+        f"(~{single_onchip:.1f}ms on-chip + {extra['dispatch_rtt_ms']:.1f}ms tunnel RTT) "
+        f"| {extra}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -293,6 +318,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(50.0 / p50, 3),
         "single_step_p50_ms": round(single_p50, 2),
+        "single_step_onchip_ms": round(single_onchip, 2),
         **extra,
     }))
 
