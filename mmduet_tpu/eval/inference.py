@@ -74,6 +74,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="false = offline whole-video baseline "
                         "(reference test/inference.py:382-423)")
     p.add_argument("--no_prefetch", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the run (view "
+                        "with tensorboard/xprof) — the tracing hook the "
+                        "reference lacks (SURVEY.md §5.1)")
     return p
 
 
@@ -122,6 +126,17 @@ def build_engine(args):
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            _main_inner(args)
+        print(f"profiler trace written to {args.profile_dir}", file=sys.stderr)
+    else:
+        _main_inner(args)
+
+
+def _main_inner(args) -> None:
     from ..data.eval_dataset import StreamingEvalDataset
 
     dataset = StreamingEvalDataset(

@@ -53,6 +53,23 @@ def bench_step(T, cache_size, n_iter=60):
 
 
 if __name__ == "__main__":
-    for T, S in [(49, 10496), (64, 10496), (64, 2560), (128, 10496), (64, 20992)]:
-        p50 = bench_step(T, S)
-        print(f"T={T:4d} cache={S:6d}: p50={p50:7.2f} ms")
+    import argparse
+    import contextlib
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace_dir", default=None,
+                    help="write a jax.profiler trace (open with "
+                         "tensorboard / xprof) covering the probe steps")
+    args = ap.parse_args()
+
+    ctx = (
+        jax.profiler.trace(args.trace_dir)
+        if args.trace_dir
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        for T, S in [(49, 10496), (64, 10496), (64, 2560), (128, 10496), (64, 20992)]:
+            p50 = bench_step(T, S)
+            print(f"T={T:4d} cache={S:6d}: p50={p50:7.2f} ms")
+    if args.trace_dir:
+        print(f"profiler trace written to {args.trace_dir}")
