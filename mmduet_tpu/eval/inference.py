@@ -74,6 +74,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="false = offline whole-video baseline "
                         "(reference test/inference.py:382-423)")
     p.add_argument("--no_prefetch", action="store_true")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help=">1 = tensor-parallel serving over this many "
+                        "chips (Megatron-layout sharding; keeps the full "
+                        "model resident on a v5e-8)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the run (view "
                         "with tensorboard/xprof) — the tracing hook the "
@@ -120,7 +124,19 @@ def build_engine(args):
         repetition_penalty=args.repetition_penalty,
         max_new_tokens=args.max_new_tokens,
     )
-    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora)
+    mesh = None
+    if args.mesh_model > 1:
+        from ..parallel import make_mesh, shard_params
+
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh_model:
+            raise SystemExit(
+                f"--mesh_model {args.mesh_model} needs that many devices, "
+                f"found {n_dev}"
+            )
+        mesh = make_mesh((1, args.mesh_model), devices=jax.devices()[: args.mesh_model])
+        params = shard_params(params, mesh, mode="replicate")
+    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh)
     return engine
 
 

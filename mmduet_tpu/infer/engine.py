@@ -59,12 +59,27 @@ class LiveInferEngine:
         kv_cache_size: Optional[int] = None,
         dtype=None,
         block_frames: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: a (data, model) `jax.sharding.Mesh` for
+        tensor-parallel serving — shard ``params`` with
+        `parallel.shard_params(params, mesh)` first (Megatron-layout TP
+        over the ``model`` axis; replicate over ``data``). The KV cache
+        is sharded on its kv-head dim and XLA inserts one psum per
+        attention+MLP block. TP serving is what lets the FULL model
+        (decoder + 152k lm_head + SigLIP) stay resident on a v5e-8 when
+        a single chip's HBM cannot hold it. The Pallas attention kernel
+        is bypassed under TP (the jnp path partitions via GSPMD)."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.lora = lora
         self.lora_scale = lora_scale
+        self.mesh = mesh
+        model_n = mesh.shape.get("model", 1) if mesh is not None else 1
+        # None = auto (single-chip TPU picks the pallas kernel); TP uses
+        # the GSPMD-partitionable jnp attention path
+        self._use_flash = False if model_n > 1 else None
         self.dtype = dtype or jax.tree.leaves(params)[0].dtype
 
         n_set = sum(
@@ -107,11 +122,13 @@ class LiveInferEngine:
         # ---- jitted device functions ----
         V = cfg.text.vocab_size
 
+        use_flash = self._use_flash
+
         def _step(params, lora, embeds, k, v, cache_len, t_real, compute_lm):
             out = mmduet.step_forward(
                 params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
                 lora=lora, lora_scale=lora_scale,
-                compute_lm_logits=compute_lm,
+                compute_lm_logits=compute_lm, use_flash=use_flash,
             )
             return (
                 out.informative_prob[0],
@@ -136,7 +153,7 @@ class LiveInferEngine:
         def _frames_block(params, lora, frames, k, v, cache_len):
             inf, rel, cache = mmduet.frames_block_forward(
                 params, cfg, frames, KVCache(k, v), cache_len,
-                lora=lora, lora_scale=lora_scale,
+                lora=lora, lora_scale=lora_scale, use_flash=use_flash,
             )
             return inf, rel, cache.k, cache.v
 
@@ -158,6 +175,7 @@ class LiveInferEngine:
             out = mmduet.step_forward(
                 params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
                 lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
+                use_flash=use_flash,
             )
             cache = out.kv_cache
             cursor = cache_len + t_real
@@ -177,6 +195,7 @@ class LiveInferEngine:
                 o = mmduet.step_forward(
                     params, cfg, emb, cache, cursor, jnp.int32(1),
                     lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
+                    use_flash=use_flash,
                 )
                 tok = jnp.argmax(penalized(o.last_logits[0], mask)).astype(jnp.int32)
                 buf = buf.at[i].set(tok)
@@ -210,9 +229,15 @@ class LiveInferEngine:
         self.frame_interval = 1.0 / self.frame_fps
 
     def reset(self):
-        self.state = StreamState(
-            init_kv_cache(self.cfg.text, 1, self._cache_size, self.dtype)
-        )
+        cache = init_kv_cache(self.cfg.text, 1, self._cache_size, self.dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import kv_cache_sharding
+
+            sh = kv_cache_sharding(self.mesh, self.cfg.text.num_kv_heads)
+            cache = KVCache(
+                jax.device_put(cache.k, sh), jax.device_put(cache.v, sh)
+            )
+        self.state = StreamState(cache)
         self.query_queue = collections.deque()
         self.frame_embeds = None  # (T, frame_tokens, H) device array
         self.frame_times: List[float] = []

@@ -232,6 +232,7 @@ def step_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     compute_lm_logits: bool = True,
+    use_flash: Optional[bool] = None,
 ) -> StepOutput:
     """One streaming step: write chunk into cache, read scores at the last
     real position. Equivalent of one reference `_encode_frame` /
@@ -241,7 +242,7 @@ def step_forward(
     hidden, kv_cache = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cache_len, lora=lora, lora_scale=lora_scale,
-        t_real=t_real,
+        t_real=t_real, use_flash=use_flash,
     )
     last = jax.lax.dynamic_index_in_dim(hidden, t_real - 1, axis=1)  # (B, 1, H)
     return _score_output(params, last, kv_cache, compute_lm_logits)
@@ -264,6 +265,7 @@ def frames_block_forward(
     cache_len: jax.Array,  # scalar int32
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Score K consecutive frames in ONE chunk forward.
 
@@ -283,6 +285,7 @@ def frames_block_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cache_len,
         lora=lora, lora_scale=lora_scale, t_real=jnp.int32(K * ft),
+        use_flash=use_flash,
     )
     # hidden state at the last token of each frame carries its scores
     last = hidden.reshape(K, ft, H)[None, :, ft - 1, :]  # (1, K, H)

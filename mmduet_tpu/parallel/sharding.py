@@ -160,6 +160,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def kv_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
+    """Sharding for the (L, B, kh, S, hd) KV cache under tensor-parallel
+    serving: the kv-head dim follows the k/v projection output sharding
+    so cache writes and attention stay local to each model shard."""
+    model_n = mesh.shape[MODEL_AXIS]
+    if model_n > 1 and num_kv_heads % model_n == 0:
+        return NamedSharding(mesh, P(None, None, MODEL_AXIS, None, None))
+    return NamedSharding(mesh, P())
+
+
 def shard_params(params: Any, mesh: Mesh, mode: str = "replicate") -> Any:
     """device_put the param tree with its computed shardings."""
     sh = param_shardings(params, mesh, mode)
