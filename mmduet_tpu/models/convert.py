@@ -269,6 +269,47 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, Any]:
     return sd
 
 
+def config_from_hf(hf_config: Dict[str, Any]) -> MMDuetConfig:
+    """Map an HF llava-OV/Qwen2 config.json dict onto MMDuetConfig.
+
+    Text fields come from the top-level Qwen2 entries; the vision tower
+    is the fixed SigLIP-so400m-patch14-384 shape the checkpoint family
+    uses (`models/arguments_live.py:10`, SURVEY.md §0)."""
+    text = Qwen2Config(
+        vocab_size=hf_config.get("vocab_size", 152064),
+        hidden_size=hf_config.get("hidden_size", 3584),
+        intermediate_size=hf_config.get("intermediate_size", 18944),
+        num_layers=hf_config.get("num_hidden_layers", 28),
+        num_heads=hf_config.get("num_attention_heads", 28),
+        num_kv_heads=hf_config.get("num_key_value_heads", 4),
+        head_dim=hf_config.get(
+            "head_dim",
+            hf_config.get("hidden_size", 3584)
+            // hf_config.get("num_attention_heads", 28),
+        ),
+        rope_theta=hf_config.get("rope_theta", 1_000_000.0),
+        rms_norm_eps=hf_config.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=hf_config.get("tie_word_embeddings", False),
+    )
+    vis = hf_config.get("vision_config") or {}
+    vision = SiglipConfig(
+        image_size=vis.get("image_size", 384),
+        patch_size=vis.get("patch_size", 14),
+        hidden_size=vis.get("hidden_size", 1152),
+        intermediate_size=vis.get("intermediate_size", 4304),
+        num_layers=vis.get("num_hidden_layers", 27),
+        num_heads=vis.get("num_attention_heads", 16),
+    )
+    return MMDuetConfig(
+        text=text,
+        vision=vision,
+        frame_resolution=vis.get("image_size", 384),
+        video_pooling_stride=hf_config.get("video_pooling_stride", 4),
+        v_placeholder_id=text.vocab_size,  # added as the LAST vocab token
+        eos_token_id=hf_config.get("eos_token_id", 151645),
+    )
+
+
 def convert_hf_checkpoint(
     model_dir: str,
     cfg: MMDuetConfig,
@@ -298,3 +339,51 @@ def convert_hf_checkpoint(
         for name, val in overrides.items():
             params[name] = jax.tree.map(lambda x: jnp.asarray(x, dtype), val)
     return params, lora
+
+
+def main(argv=None):
+    """CLI: local HF llava-OV dir (+ optional PEFT adapter dir) → a
+    framework checkpoint directory (orbax params + config.json + the HF
+    tokenizer files, so training/eval CLIs can consume it directly).
+
+        python -m mmduet_tpu.models.convert \\
+            --hf_dir <llava-onevision-qwen2-7b-ov> \\
+            [--lora_dir <mmduet-adapter>] --output <ckpt_dir>
+    """
+    import argparse
+    import shutil
+
+    p = argparse.ArgumentParser(description="HF checkpoint → mmduet-tpu")
+    p.add_argument("--hf_dir", required=True)
+    p.add_argument("--lora_dir", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .io import save_checkpoint
+
+    with open(os.path.join(args.hf_dir, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params, lora = convert_hf_checkpoint(
+        args.hf_dir, cfg, lora_dir=args.lora_dir, dtype=dtype
+    )
+    save_checkpoint(args.output, cfg, params, lora=lora)
+    # ship the tokenizer alongside so HFTokenizerAdapter.from_pretrained
+    # works on the output dir
+    for name in (
+        "tokenizer.json", "tokenizer_config.json", "vocab.json",
+        "merges.txt", "special_tokens_map.json", "added_tokens.json",
+    ):
+        src = os.path.join(args.hf_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.output, name))
+    n = sum(x.size for x in __import__("jax").tree.leaves(params))
+    print(f"converted {n/1e9:.2f}B params -> {args.output}"
+          + (" (with LoRA adapter)" if lora is not None else ""))
+
+
+if __name__ == "__main__":
+    main()

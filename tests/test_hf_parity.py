@@ -191,3 +191,76 @@ class TestSiglipParity:
         ours_feats = np.asarray(siglip_encode(params, ours, jnp.asarray(px)))
         assert ours_feats.shape == (1, 729, 32)
         np.testing.assert_allclose(ours_feats, hf_feats, atol=3e-4, rtol=1e-3)
+
+
+class TestConvertCLI:
+    def test_hf_dir_to_checkpoint_roundtrip(self, tmp_path):
+        """Full CLI path: HF-format dir (safetensors + config.json +
+        tokenizer.json) -> framework checkpoint -> load_checkpoint ->
+        logits match the HF model."""
+        import json as _json
+
+        from safetensors.numpy import save_file
+
+        from mmduet_tpu.models import convert as convert_mod
+        from mmduet_tpu.models.io import load_checkpoint
+
+        model, cfg = tiny_hf_qwen2()
+        from transformers import SiglipVisionConfig, SiglipVisionModel
+
+        vis_cfg = SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        vis = SiglipVisionModel(vis_cfg).eval()
+
+        hf_dir = tmp_path / "hf"
+        hf_dir.mkdir()
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        # llava nests the tower + projector under model.*
+        for k, v in vis.state_dict().items():
+            sd[f"model.vision_tower.vision_tower.{k}"] = v.numpy()
+        h = cfg.hidden_size
+        torch.manual_seed(2)
+        sd["model.mm_projector.0.weight"] = torch.randn(h, 32).numpy()
+        sd["model.mm_projector.0.bias"] = torch.randn(h).numpy()
+        sd["model.mm_projector.2.weight"] = torch.randn(h, h).numpy()
+        sd["model.mm_projector.2.bias"] = torch.randn(h).numpy()
+        sd["informative_head.weight"] = torch.randn(2, h).numpy()
+        sd["relevance_head.weight"] = torch.randn(2, h).numpy()
+        save_file(sd, str(hf_dir / "model.safetensors"))
+        (hf_dir / "config.json").write_text(_json.dumps({
+            "vocab_size": 256, "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 16, "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-6, "eos_token_id": 7,
+            "vision_config": {
+                "image_size": 28, "patch_size": 14, "hidden_size": 32,
+                "intermediate_size": 64, "num_hidden_layers": 3,
+                "num_attention_heads": 2,
+            },
+        }))
+        (hf_dir / "tokenizer.json").write_text("{}")  # copied verbatim
+
+        out = tmp_path / "ckpt"
+        convert_mod.main([
+            "--hf_dir", str(hf_dir), "--output", str(out), "--dtype", "float32",
+        ])
+        loaded_cfg, params, lora = load_checkpoint(str(out))
+        assert lora is None
+        assert loaded_cfg.text.vocab_size == 256
+        assert loaded_cfg.v_placeholder_id == 256  # last (added) vocab id
+        assert (out / "tokenizer.json").exists()
+        assert params["vision"] is not None
+
+        # numerics: converted decoder + lm_head reproduce the HF logits
+        ids = np.random.RandomState(3).randint(0, 256, (1, 10))
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(ids)).logits.numpy()
+        emb = embed_tokens(params["decoder"], jnp.asarray(ids), 256)
+        hidden, _ = qwen2_forward(params["decoder"], loaded_cfg.text, emb,
+                                  jnp.arange(10)[None])
+        ours = np.asarray(lm_logits(params["lm_head"], hidden))
+        np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-3)
