@@ -57,6 +57,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--bf16", type=lambda s: s.lower() == "true", default=True)
     return p
 
@@ -88,23 +89,63 @@ def synthetic_batches(cfg, collator_seq_len, max_frames, B, A, steps, seed=0):
         }
 
 
-def real_batches(dataset, collator, B, A, epochs, seed):
-    """Shuffled epoch iteration → accumulated batches."""
+def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
+    """Shuffled epoch iteration → accumulated batches.
+
+    Samples are fetched by a background thread pool (``num_workers``,
+    reference `train.sh:13` dataloader_num_workers) — cv2 decode releases
+    the GIL, so the host overlaps video decode with the device step."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..data.collator import stack_accum
 
     order = list(range(len(dataset)))
     rng = random.Random(seed)
-    for _ in range(epochs):
-        rng.shuffle(order)
-        micro, accum = [], []
-        for idx in order:
-            micro.append(dataset[idx])
-            if len(micro) == B:
-                accum.append(collator(micro))
-                micro = []
-            if len(accum) == A:
-                yield stack_accum(accum)
-                accum = []
+
+    def epoch_indices():
+        for _ in range(epochs):
+            rng.shuffle(order)
+            yield from order
+
+    if num_workers <= 0:
+        samples = (dataset[i] for i in epoch_indices())
+        yield from _accumulate(samples, collator, B, A, stack_accum)
+        return
+    with ThreadPoolExecutor(num_workers) as pool:
+        samples = _prefetch_map(
+            pool, dataset.__getitem__, epoch_indices(), depth=2 * num_workers
+        )
+        yield from _accumulate(samples, collator, B, A, stack_accum)
+
+
+def _prefetch_map(pool, fn, iterable, depth):
+    """Like Executor.map but with a BOUNDED lookahead window — plain
+    `pool.map` submits the whole epoch up front, which would decode and
+    buffer every video in memory."""
+    import collections as _collections
+    import itertools
+
+    it = iter(iterable)
+    pending = _collections.deque(
+        pool.submit(fn, x) for x in itertools.islice(it, depth)
+    )
+    while pending:
+        fut = pending.popleft()
+        for x in itertools.islice(it, 1):
+            pending.append(pool.submit(fn, x))
+        yield fut.result()
+
+
+def _accumulate(samples, collator, B, A, stack_accum):
+    micro, accum = [], []
+    for sample in samples:
+        micro.append(sample)
+        if len(micro) == B:
+            accum.append(collator(micro))
+            micro = []
+        if len(accum) == A:
+            yield stack_accum(accum)
+            accum = []
 
 
 def main(argv=None):
@@ -184,7 +225,8 @@ def main(argv=None):
         )
         steps_per_epoch = len(dataset) // (B * A)
         total_steps = steps_per_epoch * args.num_epochs
-        batches = real_batches(dataset, collator, B, A, args.num_epochs, args.seed)
+        batches = real_batches(dataset, collator, B, A, args.num_epochs,
+                               args.seed, args.dataloader_num_workers)
 
     # --- optimizer & state ----------------------------------------------
     tx, sched = make_optimizer(train_args, total_steps)

@@ -295,3 +295,41 @@ class TestRealVideoDecode:
         assert not row_has_content[:5].any()
         assert not row_has_content[-5:].any()
         assert row_has_content[5:-5].all()
+
+
+class TestRealBatchesPrefetch:
+    """Worker-prefetched epoch iteration: same batches as serial, bounded
+    lookahead (no whole-epoch buffering)."""
+
+    class FakeDataset:
+        def __init__(self, n):
+            self.n = n
+            self.max_outstanding = 0
+            self.outstanding = 0
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            import threading, time as _t
+
+            self.outstanding += 1
+            self.max_outstanding = max(self.max_outstanding, self.outstanding)
+            _t.sleep(0.001)
+            self.outstanding -= 1
+            return i
+
+    def test_same_order_and_bounded(self):
+        from mmduet_tpu.train.loop import real_batches
+
+        collator = lambda micro: {"x": np.array(micro)}
+        ds = self.FakeDataset(64)
+        workers = list(real_batches(ds, collator, B=2, A=2, epochs=1, seed=3,
+                                    num_workers=4))
+        serial = list(real_batches(self.FakeDataset(64), collator, B=2, A=2,
+                                   epochs=1, seed=3, num_workers=0))
+        assert len(workers) == len(serial) == 16
+        for w, s in zip(workers, serial):
+            np.testing.assert_array_equal(w["x"], s["x"])
+        # lookahead bounded well below the epoch size
+        assert ds.max_outstanding <= 8 + 1
