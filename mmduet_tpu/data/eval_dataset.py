@@ -28,6 +28,9 @@ class EvalSample:
     fps: float
     video_duration: float
     error: Optional[str] = None
+    # filled by StreamingEvalDatasetWithGenTime only
+    gold_answers: Optional[List[str]] = None
+    gold_end_times: Optional[List[float]] = None
 
 
 class StreamingEvalDataset:
@@ -113,3 +116,22 @@ class StreamingEvalDataset:
             if item is sentinel:
                 break
             yield item
+
+
+class StreamingEvalDatasetWithGenTime(StreamingEvalDataset):
+    """Variant also returning the gold answers + their end times
+    (reference `StreamingVideoQADatasetWithGenTime`,
+    `test/datasets.py:107-119` — unused by the main driver but part of
+    the eval-dataset surface)."""
+
+    def __getitem__(self, idx: int) -> "EvalSample":
+        sample = super().__getitem__(idx)
+        ex = self.data[idx]
+        answers = ex.get("answer", [])
+        sample.conversation = list(sample.conversation)
+        sample.gold_answers = [a.get("content") for a in answers]
+        sample.gold_end_times = [
+            (a["time"][1] if isinstance(a.get("time"), (list, tuple)) else a.get("time"))
+            for a in answers
+        ]
+        return sample

@@ -56,6 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--param_mode", choices=["replicate", "fsdp"],
+                   default="replicate",
+                   help="base-param sharding over the data axis: "
+                        "'replicate' = ZeRO-2 (opt state sharded, params "
+                        "replicated — the reference's DeepSpeed mode), "
+                        "'fsdp' = ZeRO-3 equivalent (params also sharded, "
+                        "reference configs/deepspeed/zero3.json)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--bf16", type=lambda s: s.lower() == "true", default=True)
@@ -184,7 +191,7 @@ def main(argv=None):
     n_dev = len(jax.devices())
     data_n = args.mesh_data or (n_dev // args.mesh_model)
     mesh = make_mesh((data_n, args.mesh_model))
-    params = shard_params(params, mesh, mode="replicate")
+    params = shard_params(params, mesh, mode=args.param_mode)
 
     # --- data ------------------------------------------------------------
     train_args = TrainArgs(
