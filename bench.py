@@ -70,6 +70,56 @@ def build_decoder(num_layers: int):
     return params, text, cfg
 
 
+def build_decoder_int8(num_layers: int):
+    """Random int8-quantized decoder at the 7B shape, constructed directly
+    on device (host-side quantization of real checkpoints happens at
+    conversion time; the bench only needs representative int8 layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    text, cfg = _text_cfg(num_layers)
+    rng = jax.random.PRNGKey(0)
+    L, h, nh, kh, hd, mi = (
+        text.num_layers, text.hidden_size, text.num_heads,
+        text.num_kv_heads, text.head_dim, text.intermediate_size,
+    )
+
+    def qd(key, shape, reduce_axis, scale=0.02):
+        sc_shape = list(shape)
+        sc_shape[reduce_axis] = 1
+        return {
+            "qw": jax.random.randint(key, shape, -127, 128, jnp.int8),
+            "qs": jnp.full(sc_shape, scale / 127.0, jnp.bfloat16),
+        }
+
+    k = jax.random.split(rng, 10)
+    layers = {
+        "input_norm": jnp.ones((L, h), jnp.bfloat16),
+        "post_attn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "q_proj": qd(k[0], (L, h, nh * hd), 1),
+        "q_bias": jnp.zeros((L, nh * hd), jnp.bfloat16),
+        "k_proj": qd(k[1], (L, h, kh * hd), 1),
+        "k_bias": jnp.zeros((L, kh * hd), jnp.bfloat16),
+        "v_proj": qd(k[2], (L, h, kh * hd), 1),
+        "v_bias": jnp.zeros((L, kh * hd), jnp.bfloat16),
+        "o_proj": qd(k[3], (L, nh * hd, h), 1),
+        "gate_proj": qd(k[4], (L, h, mi), 1),
+        "up_proj": qd(k[5], (L, h, mi), 1),
+        "down_proj": qd(k[6], (L, mi, h), 1),
+    }
+    params = {
+        "decoder": {
+            "embed": qd(k[7], (text.vocab_size, h), 1),  # per-row
+            "layers": layers,
+            "final_norm": jnp.ones((h,), jnp.bfloat16),
+        },
+        "lm_head": qd(k[8], (h, text.vocab_size), 0),
+        "informative_head": jax.random.normal(k[9], (h, 2), jnp.bfloat16),
+        "relevance_head": jax.random.normal(k[9], (h, 2), jnp.bfloat16),
+    }
+    return params, text, cfg
+
+
 def run_score(params, text, cfg):
     """Stream 192 frames in 32-frame fused blocks + 20 single steps."""
     import jax
@@ -143,13 +193,16 @@ def run_generation(params, text, cfg, max_new=64):
     from mmduet_tpu.models import mmduet
     from mmduet_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache
 
-    params = dict(params)
-    params["lm_head"] = (
-        jax.random.normal(
-            jax.random.PRNGKey(9), (text.hidden_size, text.vocab_size),
-            jnp.bfloat16,
-        ) * 0.02
-    )
+    lm = params.get("lm_head")
+    if not isinstance(lm, dict) and lm.shape[-1] != text.vocab_size:
+        # replace the score-path stub with a real-shape head
+        params = dict(params)
+        params["lm_head"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(9), (text.hidden_size, text.vocab_size),
+                jnp.bfloat16,
+            ) * 0.02
+        )
     cache = init_kv_cache(text, 1, 4096, dtype=jnp.bfloat16)
     V = text.vocab_size
 
@@ -289,6 +342,21 @@ def main():
         print(f"generation bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     del params
     gc.collect()
+
+    # int8 weight-only serving path (single-chip fully-resident config):
+    # same measurements with the quantized decoder + lm_head
+    try:
+        qparams, qtext, qcfg = build_decoder_int8(layers)
+        qlat, qsingle = run_score(qparams, qtext, qcfg)
+        extra["p50_int8_ms"] = round(float(np.percentile(qlat, 50)), 3)
+        extra["single_step_int8_ms"] = round(float(np.percentile(qsingle, 50)), 2)
+        extra["generation_tok_s_int8"] = round(
+            run_generation(qparams, qtext, qcfg), 1
+        )
+        del qparams
+        gc.collect()
+    except Exception as e:
+        print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
     except Exception as e:

@@ -80,7 +80,9 @@ class LiveInferEngine:
         # None = auto (single-chip TPU picks the pallas kernel); TP uses
         # the GSPMD-partitionable jnp attention path
         self._use_flash = False if model_n > 1 else None
-        self.dtype = dtype or jax.tree.leaves(params)[0].dtype
+        # activation dtype: from a norm leaf (robust to int8-quantized
+        # weight leaves in the tree)
+        self.dtype = dtype or params["decoder"]["final_norm"].dtype
 
         n_set = sum(
             x is not None

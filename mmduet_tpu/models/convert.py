@@ -315,15 +315,35 @@ def convert_hf_checkpoint(
     cfg: MMDuetConfig,
     lora_dir: Optional[str] = None,
     dtype=None,
+    quantize: Optional[str] = None,
 ):
-    """Local HF llava-OV dir (+ optional PEFT adapter dir) → (params, lora)."""
+    """Local HF llava-OV dir (+ optional PEFT adapter dir) → (params, lora).
+
+    ``quantize="int8"`` applies weight-only int8 to decoder + lm_head on
+    the HOST (weights are numpy at this point — no device round-trip)
+    before upload; the output checkpoint then serves fully resident on a
+    single 16 GB chip."""
+    import jax
     import jax.numpy as jnp
+    import numpy as _np
 
     dtype = dtype or jnp.bfloat16
     params = convert_mmduet(load_hf_state_dict(model_dir), cfg)
-    import jax
+    if quantize == "int8":
+        from .quant import quantize_params
 
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        params = quantize_params(params, donate=True)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+
+    def to_device(x):
+        if x is None:
+            return None
+        if hasattr(x, "dtype") and _np.issubdtype(_np.dtype(x.dtype), _np.floating):
+            return jnp.asarray(x, dtype)
+        return jnp.asarray(x)  # int8 qw stays int8; bf16 scales stay
+
+    params = jax.tree.map(to_device, params)
     lora = None
     if lora_dir:
         from safetensors import safe_open
@@ -358,6 +378,9 @@ def main(argv=None):
     p.add_argument("--lora_dir", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 for decoder + lm_head "
+                        "(single-chip fully-resident serving)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -368,7 +391,8 @@ def main(argv=None):
         cfg = config_from_hf(json.load(f))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params, lora = convert_hf_checkpoint(
-        args.hf_dir, cfg, lora_dir=args.lora_dir, dtype=dtype
+        args.hf_dir, cfg, lora_dir=args.lora_dir, dtype=dtype,
+        quantize=args.quantize,
     )
     save_checkpoint(args.output, cfg, params, lora=lora)
     # ship the tokenizer alongside so HFTokenizerAdapter.from_pretrained

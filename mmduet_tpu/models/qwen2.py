@@ -245,7 +245,15 @@ def qwen2_forward(
 
         def proj(name, y, bias_name=None):
             w = p[name]
-            out = jnp.einsum("bth,ho->bto", y, w, preferred_element_type=jnp.float32)
+            if isinstance(w, dict):  # weight-only int8: {"qw","qs"}
+                # convert folds into the dot's operand read; per-output
+                # scale factors out of the matmul onto the accumulator
+                out = jnp.einsum(
+                    "bth,ho->bto", y, w["qw"].astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * w["qs"].astype(jnp.float32)
+            else:
+                out = jnp.einsum("bth,ho->bto", y, w, preferred_element_type=jnp.float32)
             if lo is not None and name in lo:
                 a, b = lo[name]["a"], lo[name]["b"]  # (H,r), (r,O)
                 out = out + lora_scale * jnp.einsum(
@@ -327,11 +335,21 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
     (`models/modeling_live.py:44`); its embedding is always overwritten by
     visual features."""
     ids = jnp.clip(input_ids, 0, vocab_size - 1)
-    return jnp.take(params["embed"], ids, axis=0)
+    emb = params["embed"]
+    if isinstance(emb, dict):  # int8 per-row: gather rows then scale
+        rows = jnp.take(emb["qw"], ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(emb["qs"][:, 0], ids, axis=0).astype(jnp.float32)
+        return (rows * scales[..., None]).astype(emb["qs"].dtype)
+    return jnp.take(emb, ids, axis=0)
 
 
-def lm_logits(lm_head: jax.Array, hidden: jax.Array) -> jax.Array:
+def lm_logits(lm_head, hidden: jax.Array) -> jax.Array:
     """(B,T,H) @ (H,V) -> f32 logits."""
+    if isinstance(lm_head, dict):  # weight-only int8
+        return jnp.einsum(
+            "bth,hv->btv", hidden, lm_head["qw"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        ) * lm_head["qs"].astype(jnp.float32)
     return jnp.einsum(
         "bth,hv->btv", hidden, lm_head, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,117 @@
+"""Weight-only int8 serving: numerics vs bf16, capacity, engine e2e."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmduet_tpu.config import TestArgs as InferArgs, tiny_config
+from mmduet_tpu.infer.engine import LiveInferEngine
+from mmduet_tpu.models import init_mmduet_params, mmduet
+from mmduet_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_logits
+from mmduet_tpu.models.quant import (
+    dequantize_weight,
+    is_quantized,
+    param_bytes,
+    quantize_params,
+    quantize_weight,
+)
+from mmduet_tpu.stream import CharTokenizer
+
+CFG = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
+PARAMS = init_mmduet_params(jax.random.PRNGKey(0), CFG)
+QPARAMS = quantize_params(PARAMS)
+
+
+class TestQuantizeWeight:
+    def test_roundtrip_error_bounded(self):
+        w = np.random.RandomState(0).randn(64, 32).astype(np.float32)
+        qd = quantize_weight(w, reduce_axis=0)
+        assert qd["qw"].dtype == jnp.int8
+        back = np.asarray(dequantize_weight(qd, jnp.float32))
+        # per-channel symmetric: max error <= scale/2 (int8 rounding)
+        # plus the bf16 rounding of the stored scale (~2^-8 relative)
+        scale = np.asarray(qd["qs"], np.float32)
+        bound = scale / 2 + np.abs(w) * 2.0**-8 + 1e-6
+        assert (np.abs(back - w) <= bound).all()
+
+    def test_footprint_roughly_halved(self):
+        full = param_bytes(PARAMS["decoder"])
+        quant = param_bytes(QPARAMS["decoder"])
+        assert quant < 0.62 * full  # int8 weights + small norms/biases/scales
+
+    def test_matmul_scale_factorization(self):
+        """y @ dequant(q) == (y @ q) * s (per-output-channel scales)."""
+        w = np.random.RandomState(1).randn(16, 8).astype(np.float32)
+        qd = quantize_weight(w, reduce_axis=0)
+        y = np.random.RandomState(2).randn(4, 16).astype(np.float32)
+        a = y @ np.asarray(dequantize_weight(qd, jnp.float32))
+        b = (y @ np.asarray(qd["qw"], np.float32)) * np.asarray(qd["qs"], np.float32)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+class TestQuantizedForward:
+    def test_step_scores_close_to_bf16(self):
+        cache = init_kv_cache(CFG.text, 1, 512, jnp.float32)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (1, 16, CFG.text.hidden_size)) * 0.3
+
+        def run(params):
+            out = mmduet.step_forward(
+                params, CFG, emb, cache, jnp.int32(0), jnp.int32(16),
+                compute_lm_logits=True,
+            )
+            return (
+                float(out.informative_prob[0]),
+                float(out.relevance_prob[0]),
+                np.asarray(out.last_logits[0]),
+            )
+
+        inf_f, rel_f, logits_f = run(PARAMS)
+        inf_q, rel_q, logits_q = run(QPARAMS)
+        assert abs(inf_f - inf_q) < 0.03
+        assert abs(rel_f - rel_q) < 0.03
+        # top-5 token set substantially preserved
+        top_f = set(np.argsort(logits_f)[-5:])
+        top_q = set(np.argsort(logits_q)[-5:])
+        assert len(top_f & top_q) >= 3
+
+    def test_quantized_embed_rows(self):
+        ids = jnp.arange(12)[None]
+        full = np.asarray(embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size))
+        quant = np.asarray(
+            embed_tokens(QPARAMS["decoder"], ids, CFG.text.vocab_size),
+            np.float32,
+        )
+        denom = np.abs(full).mean()
+        assert np.abs(full - quant).mean() / denom < 0.02
+
+    def test_lm_head_quantized(self):
+        assert is_quantized(QPARAMS["lm_head"])
+        h = jax.random.normal(jax.random.PRNGKey(2), (1, 3, CFG.text.hidden_size)) * 0.2
+        a = np.asarray(lm_logits(PARAMS["lm_head"], h))
+        b = np.asarray(lm_logits(QPARAMS["lm_head"], h))
+        assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9) < 0.05
+
+
+class TestQuantizedEngine:
+    def test_engine_runs_end_to_end_int8(self):
+        tok = CharTokenizer(frame_num_tokens=CFG.frame_num_tokens)
+        args = InferArgs(stream_end_prob_threshold=0.55, max_new_tokens=6)
+        frames = np.random.RandomState(0).randint(0, 255, (8, 32, 32, 3), np.uint8)
+
+        ref = LiveInferEngine(PARAMS, CFG, tok, args, block_frames=4)
+        ref.set_fps(2.0)
+        ref.input_video_stream(frames)
+        ref.inference()
+        ref_scores = [d["informative_score"] for d in ref.debug_data_list]
+
+        q = LiveInferEngine(QPARAMS, CFG, tok, args, block_frames=4)
+        assert q.dtype == PARAMS["decoder"]["final_norm"].dtype
+        q.set_fps(2.0)
+        q.input_video_stream(frames)
+        q.inference()
+        q_scores = [d["informative_score"] for d in q.debug_data_list]
+
+        assert len(ref_scores) == len(q_scores) == 8
+        np.testing.assert_allclose(ref_scores, q_scores, atol=0.05)
