@@ -180,8 +180,11 @@ def main(argv=None):
     engine = build_engine(args)
     engine.__class__ = LiveInferForDemo
 
+    # decode at the MODEL's frame resolution (the CLI default is the 7B's
+    # 384px; a tiny/random model expects its own configured size)
+    resolution = engine.cfg.frame_resolution
     frames, fps, duration = decode_video(
-        args.video, args.frame_fps, args.frame_resolution, args.max_num_frames
+        args.video, args.frame_fps, resolution, args.max_num_frames
     )
     print(f"loaded {len(frames)} frames @ {fps}fps from {args.video}")
     state = DemoState(engine, frames, fps, realtime=not args.no_realtime)
