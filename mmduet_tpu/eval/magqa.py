@@ -131,28 +131,46 @@ class HFJudge:
         ).to(self.model.device)
         with torch.no_grad():
             out = self.model(**prompt, use_cache=True)
-        self.prompt_past_key_values = out.past_key_values
+        # store the prompt KV as immutable per-layer tensors: generate()
+        # MUTATES a DynamicCache in place (appends the new turn's KV), so
+        # reusing one cache object across evaluate() calls would corrupt
+        # the shared prompt; a fresh cache view is rebuilt per call
+        kv = out.past_key_values
+        self._prompt_kv_legacy = (
+            kv.to_legacy_cache() if hasattr(kv, "to_legacy_cache") else kv
+        )
         self.prompt_input_ids = prompt.input_ids
-        # the turn-terminator used to strip any auto-inserted system turn
-        # from incremental user fragments (reference hardcodes llama-3's
-        # <|eot_id|>=128009, `evaluate.py:61`)
-        self.eot_id = self.tokenizer.eos_token_id
+
+    def _fresh_prompt_cache(self):
+        try:
+            from transformers import DynamicCache
+
+            return DynamicCache.from_legacy_cache(self._prompt_kv_legacy)
+        except ImportError:  # older transformers: tuple caches are copied
+            return self._prompt_kv_legacy
 
     def _fragment_ids(self, question: str, gold: str, pred: str):
-        """Tokenize one (user turn, empty assistant header) fragment and
-        drop everything up to the end of the auto-inserted prefix turn and
-        the trailing terminator (reference `evaluate.py:55-62`)."""
-        conversation = [
-            {"role": "user", "content": judge_user_message(question, gold, pred)},
-            {"role": "assistant", "content": ""},
+        """Token ids of the new user turn + generation header ONLY.
+
+        Renders the full conversation (shots + new pair) and slices off
+        the cached-prompt prefix — template-agnostic, unlike the
+        reference's hardcoded llama-3 `<|eot_id|>`-stripping heuristic
+        (`evaluate.py:61`), while producing the identical conversation."""
+        conv = fewshot_prompt_conversation() + [
+            {"role": "user", "content": judge_user_message(question, gold, pred)}
         ]
-        ids = self.tokenizer.apply_chat_template(
-            conversation, return_tensors="pt"
+        full = self.tokenizer.apply_chat_template(
+            conv, add_generation_prompt=True, return_tensors="pt"
         ).to(self.model.device)
-        eots = (ids[0] == self.eot_id).nonzero()
-        if len(eots) > 1:  # an auto-inserted system/prefix turn precedes
-            ids = ids[:, int(eots[0, -1]) + 1 :]
-        return ids[:, :-1]  # drop the trailing turn terminator
+        n = self.prompt_input_ids.shape[1]
+        if not self.torch.equal(full[:, :n], self.prompt_input_ids):
+            # templates that vary the prefix per render can't reuse the
+            # cached KV; recompute it for this prefix
+            raise RuntimeError(
+                "chat template rendered a different prompt prefix; "
+                "prompt KV cache cannot be reused"
+            )
+        return full[:, n:]
 
     def evaluate(self, question: str, gold: str, pred: str) -> int:
         new_ids = self._fragment_ids(question, gold, pred)
@@ -160,7 +178,7 @@ class HFJudge:
         with self.torch.no_grad():
             out = self.model.generate(
                 input_ids=all_ids,
-                past_key_values=self.prompt_past_key_values,
+                past_key_values=self._fresh_prompt_cache(),
                 use_cache=True,
                 max_new_tokens=32,
             )

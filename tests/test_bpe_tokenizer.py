@@ -61,7 +61,10 @@ def build_qwen2_style_tokenizer(vocab_size: int = 800):
         "0123456789 the cat sat on the mat. the dog ran away!",
     ] * 4
     trainer = trainers.BpeTrainer(
-        vocab_size=vocab_size, show_progress=False, special_tokens=["<|endoftext|>"]
+        vocab_size=vocab_size, show_progress=False,
+        special_tokens=["<|endoftext|>"],
+        # full byte coverage like real byte-level BPEs — no char is OOV
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
     )
     tok.train_from_iterator(corpus, trainer)
     tok.add_special_tokens([BOS, EOS])  # atomic, split the text like Qwen2's

@@ -115,3 +115,29 @@ class TestQuantizedEngine:
 
         assert len(ref_scores) == len(q_scores) == 8
         np.testing.assert_allclose(ref_scores, q_scores, atol=0.05)
+
+
+class TestQuantizedCheckpoint:
+    def test_save_load_serve_roundtrip(self, tmp_path):
+        """int8 checkpoint -> orbax save -> load -> engine: scores match
+        the in-memory quantized model (the --quantize int8 conversion
+        output must serve without any re-processing)."""
+        from mmduet_tpu.models.io import load_checkpoint, save_checkpoint
+
+        save_checkpoint(str(tmp_path / "q"), CFG, QPARAMS)
+        cfg2, params2, _ = load_checkpoint(str(tmp_path / "q"))
+        assert is_quantized(params2["lm_head"])
+        assert params2["decoder"]["layers"]["q_proj"]["qw"].dtype == jnp.int8
+
+        tok = CharTokenizer(frame_num_tokens=CFG.frame_num_tokens)
+        args = InferArgs(stream_end_prob_threshold=1.0, grounding_mode=True)
+        frames = np.random.RandomState(1).randint(0, 255, (4, 32, 32, 3), np.uint8)
+
+        def scores(params):
+            e = LiveInferEngine(params, cfg2, tok, args, block_frames=4)
+            e.set_fps(2.0)
+            e.input_video_stream(frames)
+            e.inference()
+            return [d["informative_score"] for d in e.debug_data_list]
+
+        np.testing.assert_allclose(scores(QPARAMS), scores(params2), atol=1e-5)
