@@ -37,10 +37,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.func == "grounding":
-        from .grounding import best_result, evaluate_grounding
+        from .grounding import best_result, evaluate_grounding, evaluate_grounding_baseline
 
         preds = load_jsonl(args.pred_file)
         golds = json.load(open(args.gold_file))
+        if preds and "model_response" in preds[0] and "debug_data" not in preds[0]:
+            # offline-baseline outputs: text spans, not per-frame scores
+            m = evaluate_grounding_baseline(preds, golds)
+            print(f"baseline: mIoU/R@.3/R@.5/R@.7 = "
+                  f"{m[0]:.2f}/{m[1]:.2f}/{m[2]:.2f}/{m[3]:.2f}")
+            if args.output_file:
+                json.dump({"scores": m}, open(args.output_file, "w"), indent=2)
+            return
         results = evaluate_grounding(preds, golds)
         for r in results:
             if r["threshold"] == "oracle":

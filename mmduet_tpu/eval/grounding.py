@@ -84,3 +84,42 @@ def best_result(results: Sequence[dict]) -> dict:
     """Highest-mIoU non-oracle row (the headline number)."""
     rows = [r for r in results if r["threshold"] != "oracle"]
     return max(rows, key=lambda r: r["scores"][0])
+
+
+def span_iou_inclusive(pred_span, gold_span) -> float:
+    """Interval IoU with +1 inclusive endpoints (reference
+    `calculate_iou_span`, `test/evaluate.py:139-145` — used only by the
+    text-span baseline eval; the streaming path uses frame IoU)."""
+    ps, pe = pred_span
+    gs, ge = gold_span
+    inter = max(0.0, min(pe, ge) - max(ps, gs) + 1)
+    union = max(pe, ge) - min(ps, gs) + 1
+    return 0.0 if union == 0 else inter / union
+
+
+def evaluate_grounding_baseline(
+    pred_examples: Sequence[dict], gold_examples: Sequence[dict]
+) -> List[float]:
+    """Grounding eval for OFFLINE baseline outputs (reference
+    `evaluate.py:411-428`): extract the two numbers in the generated
+    text as a [start, end] span (vtimellm 'from X to Y' percentages are
+    scaled by the video length), span-IoU vs the first gt span.
+    Examples without exactly two numbers are skipped. Returns
+    [mIoU, R@0.3, R@0.5, R@0.7] (x100)."""
+    import re
+
+    gold = {e["question_id"]: e for e in gold_examples}
+    ious: List[float] = []
+    for ex in pred_examples:
+        g = gold[ex["question_id"]]
+        text = ex["model_response"][0]
+        nums = re.findall(r"\d+\.?\d*", text)
+        if len(nums) != 2:
+            continue
+        start, end = float(nums[0]), float(nums[1])
+        low = text.lower()
+        if "from" in low and "to" in low:  # vtimellm percent format
+            length = ex["video_duration"]
+            start, end = start / 100 * length, end / 100 * length
+        ious.append(span_iou_inclusive((start, end), g["timestamps"][0]))
+    return _metrics(ious) if ious else [0.0, 0.0, 0.0, 0.0]

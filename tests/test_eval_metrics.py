@@ -375,3 +375,33 @@ class TestMeteorFidelity:
         np.testing.assert_allclose(per, [0.3, 0.2])  # len(hyp.split())/10
         assert agg == pytest.approx(0.25)
         jar.close()
+
+
+class TestGroundingBaseline:
+    def test_vtimellm_percent_span(self):
+        from mmduet_tpu.eval.grounding import evaluate_grounding_baseline
+
+        preds = [{
+            "question_id": "q",
+            "model_response": ["From 10 to 30, the person cooks."],
+            "video_duration": 100.0,
+        }]
+        golds = [{"question_id": "q", "timestamps": [[10.0, 30.0]]}]
+        m = evaluate_grounding_baseline(preds, golds)
+        assert m[0] == pytest.approx(100.0)  # exact span after % scaling
+
+    def test_plain_seconds_and_skip(self):
+        from mmduet_tpu.eval.grounding import evaluate_grounding_baseline
+
+        preds = [
+            {"question_id": "a", "model_response": ["between 2.0 and 6.0 seconds"],
+             "video_duration": 10.0},
+            {"question_id": "b", "model_response": ["no numbers here"],
+             "video_duration": 10.0},
+        ]
+        golds = [
+            {"question_id": "a", "timestamps": [[2.0, 6.0]]},
+            {"question_id": "b", "timestamps": [[0.0, 1.0]]},
+        ]
+        m = evaluate_grounding_baseline(preds, golds)
+        assert m[0] == pytest.approx(100.0)  # only the parseable one counts
