@@ -105,6 +105,15 @@ def build_engine(args):
             args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
             v_placeholder=cfg.v_placeholder,
         )
+        # the TOKENIZER owns the special-token ids (reference
+        # `build_live_tokenizer_and_update_config`,
+        # `tokenization_live.py:122-124`): the checkpoint's placeholder id
+        # is a vocab-size guess that must be overridden by the actual
+        # `<image>` / eos ids the tokenizer produces
+        cfg = cfg.replace(
+            v_placeholder_id=tokenizer.v_placeholder_id,
+            eos_token_id=tokenizer.eos_token_id,
+        )
     else:
         raise SystemExit("one of --checkpoint or --tiny_random is required")
 
@@ -152,23 +161,29 @@ def main(argv=None) -> None:
         _main_inner(args)
 
 
-def _main_inner(args) -> None:
+def _make_dataset(args, resolution: int):
     from ..data.eval_dataset import StreamingEvalDataset
 
-    dataset = StreamingEvalDataset(
+    return StreamingEvalDataset(
         data_file=args.test_fname,
         video_base_folder=args.input_dir,
         start_idx=args.start_idx,
         end_idx=args.end_idx,
         output_fps=args.frame_fps,
-        output_resolution=args.frame_resolution,
+        # decode at the MODEL's frame resolution (the flag default is the
+        # 7B's 384px; a checkpoint's own config wins)
+        output_resolution=resolution,
         max_num_frames=args.max_num_frames,
         system_prompt=args.system_prompt,
         time_instruction_format=args.time_instruction_format,
     )
+
+
+def _main_inner(args) -> None:
     if not args.is_online_model:
-        return _run_offline_baseline(args, dataset)
+        return _run_offline_baseline(args)
     engine = build_engine(args)
+    dataset = _make_dataset(args, engine.cfg.frame_resolution)
 
     n_done = 0
     t_start = time.perf_counter()
@@ -203,7 +218,7 @@ def _main_inner(args) -> None:
     print(f"done: {n_done} samples in {dt:.1f}s -> {args.output_fname}")
 
 
-def _run_offline_baseline(args, dataset) -> None:
+def _run_offline_baseline(args) -> None:
     """Whole-video non-streaming baseline (reference
     `test/inference.py:382-423`): one greedy answer per sample; output
     schema {question_id, model_response, question, video_duration}."""
@@ -226,6 +241,10 @@ def _run_offline_baseline(args, dataset) -> None:
             args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
             v_placeholder=cfg.v_placeholder,
         )
+        cfg = cfg.replace(
+            v_placeholder_id=tokenizer.v_placeholder_id,
+            eos_token_id=tokenizer.eos_token_id,
+        )
     else:
         raise SystemExit("one of --checkpoint or --tiny_random is required")
 
@@ -238,6 +257,7 @@ def _run_offline_baseline(args, dataset) -> None:
         stream_end_prob_threshold=1.0,
     )
     runner = OfflineBaselineRunner(params, cfg, tokenizer, test_args, lora=lora)
+    dataset = _make_dataset(args, cfg.frame_resolution)
 
     n_done = 0
     t_start = time.perf_counter()

@@ -300,12 +300,17 @@ def config_from_hf(hf_config: Dict[str, Any]) -> MMDuetConfig:
         num_layers=vis.get("num_hidden_layers", 27),
         num_heads=vis.get("num_attention_heads", 16),
     )
+    stride = hf_config.get("video_pooling_stride", 4)
+    pooled_side = -(-vision.num_patches_per_side // stride)
     return MMDuetConfig(
         text=text,
         vision=vision,
         frame_resolution=vis.get("image_size", 384),
-        video_pooling_stride=hf_config.get("video_pooling_stride", 4),
-        v_placeholder_id=text.vocab_size,  # added as the LAST vocab token
+        video_pooling_stride=stride,
+        frame_num_tokens=hf_config.get("frame_num_tokens", pooled_side**2),
+        # placeholder/eos ids are provisional: the tokenizer overrides
+        # them at load time (reference `tokenization_live.py:122-124`)
+        v_placeholder_id=text.vocab_size,
         eos_token_id=hf_config.get("eos_token_id", 151645),
     )
 

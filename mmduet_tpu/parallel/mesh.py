@@ -42,9 +42,10 @@ def make_mesh(
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != {n} devices")
-    arr = np.array(devices).reshape(shape)
+    want = shape[0] * shape[1]
+    if want > n:
+        raise ValueError(f"mesh shape {shape} needs {want} devices, have {n}")
+    arr = np.array(devices[:want]).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -184,6 +184,12 @@ def main(argv=None):
             args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
             v_placeholder=cfg.v_placeholder,
         )
+        # tokenizer owns the special-token ids (reference
+        # `tokenization_live.py:122-124`)
+        cfg = cfg.replace(
+            v_placeholder_id=tokenizer.v_placeholder_id,
+            eos_token_id=tokenizer.eos_token_id,
+        )
     else:
         raise SystemExit("one of --checkpoint or --tiny_random is required")
 
@@ -225,6 +231,7 @@ def main(argv=None):
         dataset = build_concat_train_dataset(
             args.dataset_config, tokenizer,
             frame_fps=args.frame_fps, max_num_frames=args.max_num_frames,
+            frame_size=cfg.frame_resolution,  # decode at the MODEL's size
         )
         collator = Collator(
             tokenizer, seq_len=seq_len,
@@ -284,10 +291,21 @@ def main(argv=None):
     from ..train.optimizer import merge_trainable
 
     final_params = merge_trainable(jax.device_get(params), jax.device_get(state.trainable))
+    final_dir = os.path.join(args.output_dir, "final")
     save_checkpoint(
-        os.path.join(args.output_dir, "final"), cfg, final_params,
+        final_dir, cfg, final_params,
         lora=jax.device_get(state.trainable["lora"]),
     )
+    if args.checkpoint:  # ship tokenizer files so eval consumes the dir directly
+        import shutil
+
+        for name in (
+            "tokenizer.json", "tokenizer_config.json", "vocab.json",
+            "merges.txt", "special_tokens_map.json", "added_tokens.json",
+        ):
+            src = os.path.join(args.checkpoint, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(final_dir, name))
     print(f"training done at step {done}; final model in {args.output_dir}/final")
 
 
