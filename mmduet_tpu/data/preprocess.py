@@ -294,7 +294,8 @@ def main(argv=None):
     e.add_argument("--checkpoint", required=True,
                    help="converted checkpoint dir (for the vision tower)")
     e.add_argument("--fps", type=float, required=True)
-    e.add_argument("--resolution", type=int, default=384)
+    e.add_argument("--resolution", type=int, default=None,
+                   help="default: the checkpoint's frame_resolution")
     e.add_argument("--embed_mark", default="local")
     e.add_argument("--batch_size", type=int, default=32)
     e.add_argument("--num_shards", type=int, default=1)
@@ -312,9 +313,10 @@ def main(argv=None):
         from ..models.io import load_checkpoint
 
         cfg, params, _ = load_checkpoint(args.checkpoint)
+        resolution = args.resolution or cfg.frame_resolution
         dst = sharded_extract(
             args.src_root, params["vision"], cfg.vision,
-            output_fps=args.fps, resolution=args.resolution,
+            output_fps=args.fps, resolution=resolution,
             embed_mark=args.embed_mark, model_tag="siglip",
             batch_size=args.batch_size, num_shards=args.num_shards,
             shard_index=args.shard_index, save_bf16=args.bf16,
