@@ -62,15 +62,40 @@ def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * block_s < valid_len)
-    def _compute():
+    def _accumulate(s, v):
+        """Online-softmax accumulation of one scored block."""
+        m_prev = m_ref[:, 0:1]  # (block_rows, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (block_rows, block_s)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    def _scores():
         q = q_ref[0]  # (block_rows, hd)
         k = k_ref[0]  # (block_s, hd)
-        v = v_ref[0]
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (block_rows, block_s)
 
+    block_end = (j + 1) * block_s
+    interior = block_end <= cache_len  # fully-written history: no masking
+
+    @pl.when(interior)
+    def _compute_interior():
+        # every slot in this block precedes the chunk and is within the
+        # written region — skip the iota/compare/where mask entirely
+        _accumulate(_scores(), v_ref[0])
+
+    @pl.when((~interior) & (j * block_s < valid_len))
+    def _compute_boundary():
+        s = _scores()
         # mask: kv slot (j*BS + col) must be <= query global position and
         # within the written region. Global row = qb*block_rows + local;
         # its chunk-time index is row % q_len (rows are (g, T)-flattened).
@@ -84,20 +109,7 @@ def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         )
         q_pos = cache_len + row % q_len
         mask = (col <= q_pos) & (col < valid_len)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_ref[:, 0:1]  # (block_rows, 1)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (block_rows, block_s)
-        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        _accumulate(jnp.where(mask, s, NEG_INF), v_ref[0])
 
     @pl.when(j == nj - 1)
     def _finish():
