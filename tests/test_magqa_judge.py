@@ -108,3 +108,46 @@ class TestHFJudge:
         out = judge_example(pred, gold, judge)
         assert np.asarray(out["evaluator_output"]).shape == (1, 1)
         assert out["evaluator_output"][0][0] in (1, 2, 3, 4, 5)
+
+
+class TestHTTPJudge:
+    def test_http_backend_contract(self):
+        """HTTPJudge posts {question, gold_answer, pred_answer} and reads
+        the LAST char of the returned text as the score (reference
+        `LlamaServerEvaluator`, `test/evaluate.py:71-81`)."""
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from mmduet_tpu.eval.magqa import HTTPJudge
+
+        received = {}
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                received.update(json.loads(self.rfile.read(n)))
+                body = json.dumps({"text": "the score is 4"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            judge = HTTPJudge(f"http://127.0.0.1:{srv.server_port}")
+            score = judge.evaluate("Q?", "gold answer", "pred answer")
+            assert score == 4
+            assert received == {
+                "question": "Q?",
+                "gold_answer": "gold answer",
+                "pred_answer": "pred answer",
+            }
+        finally:
+            srv.shutdown()
