@@ -150,14 +150,21 @@ def sodac(
     gt_captions: Sequence[str],
     iou_threshold: float = 0.0,
 ) -> float:
-    """SODA_c F1 for one video."""
+    """SODA_c F1 for one video.
+
+    NOTE the scorer argument order: SODA (and the reference's vendored
+    copy, `eval_dvc.py:334-335`) scores each GT caption as the
+    HYPOTHESIS against the predictions as references —
+    ``compute_score(res, gt)`` — the reverse of the matched-pair caption
+    metrics. METEOR is asymmetric, so this order is part of the
+    protocol."""
     if not len(pred_captions):
         return 0.0
     res = {str(i): [p] for i, p in enumerate(pred_captions)}
     score_rows = []
     for g in gt_captions:
-        gt_dict = {k: [g] for k in res}
-        _, per_item = scorer.compute_score(gt_dict, res)
+        gt_as_hyp = {k: [g] for k in res}
+        _, per_item = scorer.compute_score(res, gt_as_hyp)
         score_rows.append(np.nan_to_num(per_item))
     score_matrix = np.array(score_rows)  # (n_gt, n_pred)
     iou_cur = np.where(iou_matrix < iou_threshold, 0.0, iou_matrix)
