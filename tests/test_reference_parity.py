@@ -180,3 +180,111 @@ def test_dvc_detection_dp_soda_match_reference_module():
             {0: iou_m}, m, pc, gc, np.zeros(n_g, int), iou_thresholds=(0.0,)
         )
         np.testing.assert_allclose(sodac(iou_m, m, pc, gc, 0.0), ref_fs[0], atol=1e-9)
+
+
+def test_magqa_analyze_matches_reference_logic():
+    """In-span score / turns / dedup vs the reference analyzer semantics
+    (`analyze_magqa_results.py:29-73`), including non-digit judge
+    strings and time=-1 baseline turns."""
+    from mmduet_tpu.eval.magqa import analyze_magqa
+
+    def ref_analyze(lines, num_examples):
+        def ts2i(text):
+            if not isinstance(text, str):
+                return text
+            return int(text[0]) if text[0] in "12345" else 1
+
+        num_turns, num_dedup, in_span = [], [], []
+        for ex in lines[:num_examples]:
+            sentences = [t["content"] for t in ex["model_response_list"]
+                         if t["role"] == "assistant"]
+            num_turns.append(len(sentences))
+            num_dedup.append(len(set(sentences)))
+            per = []
+            times = [t["time"] for t in ex["model_response_list"]
+                     if t["role"] == "assistant"]
+            for score_list, span in zip(ex["evaluator_output"], ex["answer_time"]):
+                idx = [i for i, tt in enumerate(times)
+                       if (span[0] <= tt <= span[1] or tt == -1)]
+                per.append(1 if not idx
+                           else np.mean([ts2i(score_list[i]) for i in idx]))
+            if per:
+                in_span.append(np.mean(per))
+        if len(num_turns) < num_examples:
+            pad = num_examples - len(num_turns)
+            num_turns += [0] * pad
+            num_dedup += [0] * pad
+            in_span += [1] * pad
+        return (round(float(np.mean(in_span)), 2),
+                round(float(np.mean(num_turns)), 2),
+                round(float(np.mean(num_dedup)), 2))
+
+    rng = random.Random(23)
+    for _ in range(200):
+        n = rng.randint(1, 6)
+        lines = []
+        for _ in range(n):
+            n_turns = rng.randint(1, 5)
+            turns = [{"role": "assistant", "content": rng.choice(["a", "b", "c"]),
+                      "time": rng.choice([-1, round(rng.uniform(0, 20), 1)])}
+                     for _ in range(n_turns)]
+            n_gold = rng.randint(1, 4)
+            spans = [[round(rng.uniform(0, 10), 1), round(rng.uniform(10, 20), 1)]
+                     for _ in range(n_gold)]
+            matrix = [[rng.choice([1, 2, 3, 4, 5, "3 ok", "bad"])
+                       for _ in range(n_turns)] for _ in range(n_gold)]
+            lines.append({"model_response_list": turns,
+                          "evaluator_output": matrix, "answer_time": spans})
+        num_ex = rng.choice([n, n + 3])
+        ref = ref_analyze(lines, num_ex)
+        ours = analyze_magqa(lines, num_ex)
+        assert (ours["in_span_score"], ours["turns"], ours["turns_dedup"]) == ref
+
+
+def test_batch_input_builder_matches_reference_tool(tmp_path):
+    """Our build_batch_input vs the reference's actual
+    model_output_to_openai_batch_input: identical request sequence,
+    custom_ids and message texts."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ob", os.path.join(REF, "test/openai_batch.py")
+    )
+    ref_ob = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_ob)
+    from mmduet_tpu.eval.openai_batch import build_batch_input
+
+    rng = random.Random(29)
+    for t in range(50):
+        n_ex = rng.randint(1, 4)
+        preds, golds = [], []
+        for i in range(n_ex):
+            texts = [rng.choice(["a cat", "a dog", "nothing"])
+                     for _ in range(rng.randint(1, 4))]
+            preds.append({"question_id": f"q{i}",
+                          "model_response_list": [
+                              {"role": "assistant", "content": tx,
+                               "time": rng.choice([-1, round(rng.uniform(0, 20), 1)])}
+                              for tx in texts],
+                          "debug_data": [1]})
+            golds.append({"question_id": f"q{i}",
+                          "conversation": [{"role": "user", "content": "what?"}],
+                          "answer": [{"content": rng.choice(["a cat", "a bird"]),
+                                      "time": sorted([round(rng.uniform(0, 20), 1),
+                                                      round(rng.uniform(0, 20), 1)])}
+                                     for _ in range(rng.randint(1, 3))]})
+        pf = tmp_path / f"p{t}.jsonl"
+        gf = tmp_path / f"g{t}.json"
+        of = tmp_path / f"o{t}.jsonl"
+        with open(pf, "w") as f:
+            for p in preds:
+                f.write(json.dumps(p) + "\n")
+        json.dump(golds, open(gf, "w"))
+        ref_ob.model_output_to_openai_batch_input(str(pf), str(gf), str(of))
+        ref_reqs = [json.loads(l) for l in open(of)]
+        our_reqs = build_batch_input(preds, golds)
+        assert len(ref_reqs) == len(our_reqs)
+        for r, o in zip(ref_reqs, our_reqs):
+            assert r["custom_id"] == o["custom_id"]
+            assert r["body"]["messages"][0]["content"] == o["body"]["messages"][0]["content"]
+            assert r["body"]["messages"][1]["content"] == o["body"]["messages"][1]["content"]
