@@ -224,3 +224,58 @@ class TestBlockMode:
         eng.inference()
         assert len(eng.debug_data_list) == 6
         assert not eng.query_queue
+
+
+class TestPolicyReplay:
+    """Replay the reference's trigger state machine
+    (`test/inference.py:286-304`) over the engine's own recorded
+    per-frame scores: the assistant-turn times must match exactly."""
+
+    def _run(self, **kw):
+        import numpy as np
+
+        eng = make_engine(**kw)
+        eng.set_fps(2.0)
+        frames = np.random.RandomState(0).randint(0, 255, (20, 32, 32, 3), np.uint8)
+        eng.input_video_stream(frames)
+        out = eng.inference()
+        return eng, out
+
+    def _replay(self, debug_data, score_heads, prob_thr, sum_thr, fps=2.0):
+        triggers, s = [], 0.0
+        video_time = 0.0
+        for d in debug_data:
+            score = sum(v for k, v in d.items() if k in score_heads)
+            fire = False
+            s += score
+            if sum_thr is not None and s > sum_thr:
+                fire, s = True, 0.0
+            if prob_thr is not None and score > prob_thr:
+                fire = True
+            if fire:
+                triggers.append(round(video_time, 6))
+            video_time += 1.0 / fps
+        return triggers
+
+    def test_prob_mode_trigger_times_match(self):
+        eng, out = self._run(stream_end_prob_threshold=0.55, max_new_tokens=4)
+        got = [round(t["time"], 6) for t in out if t["role"] == "assistant"]
+        want = self._replay(eng.debug_data_list, ["informative_score"], 0.55, None)
+        assert got == want and len(got) > 0
+
+    def test_sum_mode_trigger_times_match(self):
+        eng, out = self._run(stream_end_prob_threshold=None,
+                             stream_end_score_sum_threshold=2.0, max_new_tokens=4)
+        got = [round(t["time"], 6) for t in out if t["role"] == "assistant"]
+        want = self._replay(eng.debug_data_list, ["informative_score"], None, 2.0)
+        assert got == want and len(got) > 0
+
+    def test_two_heads_sum_mode(self):
+        eng, out = self._run(stream_end_prob_threshold=None,
+                             stream_end_score_sum_threshold=2.0,
+                             score_heads="informative_score,relevance_score",
+                             max_new_tokens=4)
+        got = [round(t["time"], 6) for t in out if t["role"] == "assistant"]
+        want = self._replay(eng.debug_data_list,
+                            ["informative_score", "relevance_score"], None, 2.0)
+        assert got == want and len(got) > 0
