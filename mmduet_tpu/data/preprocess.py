@@ -53,10 +53,13 @@ def ffmpeg_once(
     `data/utils.py:63-79`): ``-n`` skip-if-exists, audio stripped, optional
     fps resample and aspect-preserving scale to ``resolution`` with
     centered padding."""
+    if os.path.exists(dst_path):
+        return  # skip-if-exists (ffmpeg's -n would EXIT 1 on an existing
+        # file, which would abort a resumed sharded run under check=True)
     os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
     command = [
         ffmpeg_bin,
-        "-n",  # skip if target file exists
+        "-n",  # belt-and-braces vs concurrent writers
         "-sws_flags", mode,
         "-i", src_path,
         "-an",

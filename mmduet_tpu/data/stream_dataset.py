@@ -59,6 +59,7 @@ class StreamDataset:
         self.max_num_frames = max_num_frames
         self.tokenizer = tokenizer
         self.skip_video = skip_video
+        self._epoch = 0
         self.metadata = (
             build_metadata(video_root, metadata_path)
             if metadata_path and video_root
@@ -67,6 +68,20 @@ class StreamDataset:
         with open(anno_file) as f:
             self.raw_annos = json.load(f)
         self.annos: List[dict] = self.build_annos(self.raw_annos)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary the per-item RNG across epochs (torch DistributedSampler
+        convention)."""
+        self._epoch = int(epoch)
+
+    def item_rng(self, index: int) -> random.Random:
+        """Deterministic per-(epoch, index) RNG for __getitem__-time draws.
+
+        The global `random` module is NOT safe here: the train loop
+        prefetches samples from a thread pool, and concurrent draws from
+        one shared Mersenne-Twister stream interleave
+        schedule-dependently, destroying seeded reproducibility."""
+        return random.Random(f"{type(self).__name__}:{self._epoch}:{index}")
 
     # subclasses convert raw annotation format → duet conversations
     def build_annos(self, raw) -> List[dict]:
@@ -170,8 +185,9 @@ class StreamDataset:
         except Exception as e:
             if _depth >= 10:
                 raise
-            # fault tolerance: resample a random index (reference dvc.py:76-86)
-            alt = random.randrange(len(self))
+            # fault tolerance: resample a deterministic alternative index
+            # (reference dvc.py:76-86 resamples via global random)
+            alt = self.item_rng(index + 7919 * (_depth + 1)).randrange(len(self))
             return self.__getitem__(alt, _depth + 1)
 
 
@@ -252,13 +268,15 @@ class DenseVideoCaptioningStreamDataset(StreamDataset):
     def __getitem__(self, index: int, _depth: int = 0):
         try:
             anno = self.annos[index]
-            conv = [{"role": "user", "content": random.choice(self.instructions)}]
+            rng = self.item_rng(index)
+            conv = [{"role": "user", "content": rng.choice(self.instructions)}]
             conv += [dict(m) for m in anno["conversation"]]
             return (*self.make_sample(conv, anno.get("load_ranges")), index)
         except Exception:
             if _depth >= 10:
                 raise
-            return self.__getitem__(random.randrange(len(self)), _depth + 1)
+            alt = self.item_rng(index + 7919 * (_depth + 1)).randrange(len(self))
+            return self.__getitem__(alt, _depth + 1)
 
 
 class MAGQAStreamDataset(StreamDataset):
@@ -434,6 +452,11 @@ class ConcatStreamDataset:
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
+
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __getitem__(self, index: int):
         ds = int(np.searchsorted(self._offsets, index, side="right")) - 1

@@ -412,7 +412,13 @@ class MeteorJar:
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
         with self.lock:
             assert sorted(gts.keys()) == sorted(res.keys())
-            img_ids = sorted(gts.keys())
+            # per-image scores are returned in the CALLER'S key order.
+            # The reference sorts keys as STRINGS (`meteor.py:53`), which
+            # silently permutes rows once numeric keys reach '10' — SODA's
+            # score matrix is consumed positionally, so that ordering
+            # scrambles alignments for videos with >=11 captions. Insertion
+            # order keeps jar and pure-python backends consistent.
+            img_ids = list(gts.keys())
             stats = []
             for k in img_ids:
                 hyp = Cider._caps(res[k])[0].replace("|||", "").replace("  ", " ")

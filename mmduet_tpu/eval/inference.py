@@ -53,7 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--input_dir", type=str, required=True)
     p.add_argument("--output_fname", type=str, required=True)
     p.add_argument("--frame_fps", type=float, default=2.0)
-    p.add_argument("--frame_resolution", type=int, default=384)
+    p.add_argument("--frame_resolution", type=int, default=None,
+                   help="decode resolution override; default: the "
+                        "model config's frame_resolution")
     p.add_argument("--max_num_frames", type=int, default=400)
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=None)
@@ -120,7 +122,7 @@ def build_engine(args):
     test_args = TestArgs(
         system_prompt=args.system_prompt,
         frame_fps=args.frame_fps,
-        frame_resolution=args.frame_resolution,
+        frame_resolution=args.frame_resolution or cfg.frame_resolution,
         max_num_frames=args.max_num_frames,
         grounding_mode=args.grounding_mode,
         stream_end_prob_threshold=args.stream_end_prob_threshold,
@@ -133,20 +135,27 @@ def build_engine(args):
         repetition_penalty=args.repetition_penalty,
         max_new_tokens=args.max_new_tokens,
     )
-    mesh = None
-    if args.mesh_model > 1:
-        from ..parallel import make_mesh, shard_params
-
-        n_dev = len(jax.devices())
-        if n_dev < args.mesh_model:
-            raise SystemExit(
-                f"--mesh_model {args.mesh_model} needs that many devices, "
-                f"found {n_dev}"
-            )
-        mesh = make_mesh((1, args.mesh_model), devices=jax.devices()[: args.mesh_model])
-        params = shard_params(params, mesh, mode="replicate")
+    params, mesh = _maybe_shard_tp(params, args.mesh_model)
     engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh)
     return engine
+
+
+def _maybe_shard_tp(params, mesh_model: int):
+    """Tensor-parallel serving setup shared by the online engine and the
+    offline baseline runner."""
+    if mesh_model <= 1:
+        return params, None
+    import jax
+
+    from ..parallel import make_mesh, shard_params
+
+    n_dev = len(jax.devices())
+    if n_dev < mesh_model:
+        raise SystemExit(
+            f"--mesh_model {mesh_model} needs that many devices, found {n_dev}"
+        )
+    mesh = make_mesh((1, mesh_model), devices=jax.devices()[:mesh_model])
+    return shard_params(params, mesh, mode="replicate"), mesh
 
 
 def main(argv=None) -> None:
@@ -170,9 +179,9 @@ def _make_dataset(args, resolution: int):
         start_idx=args.start_idx,
         end_idx=args.end_idx,
         output_fps=args.frame_fps,
-        # decode at the MODEL's frame resolution (the flag default is the
-        # 7B's 384px; a checkpoint's own config wins)
-        output_resolution=resolution,
+        # decode at the MODEL's frame resolution unless explicitly
+        # overridden with --frame_resolution
+        output_resolution=args.frame_resolution or resolution,
         max_num_frames=args.max_num_frames,
         system_prompt=args.system_prompt,
         time_instruction_format=args.time_instruction_format,
@@ -250,13 +259,16 @@ def _run_offline_baseline(args) -> None:
 
     test_args = TestArgs(
         frame_fps=args.frame_fps,
-        frame_resolution=args.frame_resolution,
+        frame_resolution=args.frame_resolution or cfg.frame_resolution,
         max_num_frames=args.max_num_frames,
         repetition_penalty=args.repetition_penalty,
         max_new_tokens=args.max_new_tokens,
         stream_end_prob_threshold=1.0,
     )
-    runner = OfflineBaselineRunner(params, cfg, tokenizer, test_args, lora=lora)
+    params, mesh = _maybe_shard_tp(params, args.mesh_model)
+    runner = OfflineBaselineRunner(
+        params, cfg, tokenizer, test_args, lora=lora, mesh=mesh
+    )
     dataset = _make_dataset(args, cfg.frame_resolution)
 
     n_done = 0

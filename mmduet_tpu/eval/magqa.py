@@ -164,21 +164,28 @@ class HFJudge:
         ).to(self.model.device)
         n = self.prompt_input_ids.shape[1]
         if not self.torch.equal(full[:, :n], self.prompt_input_ids):
-            # templates that vary the prefix per render can't reuse the
-            # cached KV; recompute it for this prefix
-            raise RuntimeError(
-                "chat template rendered a different prompt prefix; "
-                "prompt KV cache cannot be reused"
-            )
+            # template renders a different prefix in-context (e.g. rewrites
+            # the trailing turn when it is no longer last): the cached KV
+            # cannot be reused for this pair — fall back to a full forward
+            return full
         return full[:, n:]
 
     def evaluate(self, question: str, gold: str, pred: str) -> int:
         new_ids = self._fragment_ids(question, gold, pred)
-        all_ids = self.torch.cat([self.prompt_input_ids, new_ids], dim=1)
+        n = self.prompt_input_ids.shape[1]
+        if new_ids.shape[1] > n and self.torch.equal(
+            new_ids[:, :n], self.prompt_input_ids
+        ):
+            # prefix mismatch fallback: _fragment_ids returned the FULL
+            # conversation — generate without the cached prompt KV
+            all_ids, past = new_ids, None
+        else:
+            all_ids = self.torch.cat([self.prompt_input_ids, new_ids], dim=1)
+            past = self._fresh_prompt_cache()
         with self.torch.no_grad():
             out = self.model.generate(
                 input_ids=all_ids,
-                past_key_values=self._fresh_prompt_cache(),
+                past_key_values=past,
                 use_cache=True,
                 max_new_tokens=32,
             )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -177,17 +177,20 @@ def convert_lora(sd: Dict[str, Any], cfg: Qwen2Config) -> Dict:
     return out
 
 
-def convert_modules_to_save(sd: Dict[str, Any]) -> Dict:
-    """PEFT ``modules_to_save`` tensors → param overrides.
+def convert_modules_to_save(sd: Dict[str, Any]) -> Tuple[Dict, set]:
+    """PEFT ``modules_to_save`` tensors → (param overrides, consumed keys).
 
     Reference-trained adapters carry FULLY fine-tuned projector and
     score-head weights under ``modules_to_save`` (`modeling_live.py:107-117`
     with `finetune_modules`); an adapter loader that only reads lora_A/B
     would silently run the base projector and produce wrong outputs.
-    Returns a subset of {"projector", "informative_head", "relevance_head"}.
-    """
+    Overrides are a subset of {"projector", "informative_head",
+    "relevance_head"}. Keys that merely MENTION a known module but whose
+    tensor slot is unrecognized are NOT marked consumed, so strict
+    conversion still flags them."""
     overrides: Dict[str, Any] = {}
     proj: Dict[str, np.ndarray] = {}
+    consumed: set = set()
     for key, val in sd.items():
         if "modules_to_save" not in key:
             continue
@@ -203,23 +206,16 @@ def convert_modules_to_save(sd: Dict[str, Any]) -> Dict:
             if slot:
                 name, transpose = slot
                 proj[name] = _np(val).T if transpose else _np(val)
+                consumed.add(key)
         elif "informative_head" in key and tail == "weight":
             overrides["informative_head"] = _np(val).T
+            consumed.add(key)
         elif "relevance_head" in key and tail == "weight":
             overrides["relevance_head"] = _np(val).T
+            consumed.add(key)
     if proj:
         overrides["projector"] = proj
-    return overrides
-
-
-def _adapter_key_consumed(key: str) -> bool:
-    if _LORA_PAT.search(key):
-        return True
-    if "modules_to_save" in key and any(
-        m in key for m in ("mm_projector", "connector", "informative_head", "relevance_head")
-    ):
-        return True
-    return False
+    return overrides, consumed
 
 
 def convert_adapter(
@@ -231,8 +227,10 @@ def convert_adapter(
     an unconsumed tensor means the restored model silently differs from
     the trained one."""
     lora = convert_lora(sd, cfg)
-    overrides = convert_modules_to_save(sd)
-    leftover = [k for k in sd if not _adapter_key_consumed(k)]
+    overrides, consumed = convert_modules_to_save(sd)
+    leftover = [
+        k for k in sd if k not in consumed and not _LORA_PAT.search(k)
+    ]
     if leftover:
         msg = f"adapter keys not consumed by conversion: {sorted(leftover)[:8]}"
         if strict:

@@ -110,7 +110,9 @@ def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
     rng = random.Random(seed)
 
     def epoch_indices():
-        for _ in range(epochs):
+        for epoch in range(epochs):
+            if hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)  # vary per-item RNG across epochs
             rng.shuffle(order)
             yield from order
 

@@ -333,3 +333,49 @@ class TestRealBatchesPrefetch:
             np.testing.assert_array_equal(w["x"], s["x"])
         # lookahead bounded well below the epoch size
         assert ds.max_outstanding <= 8 + 1
+
+
+class TestDeterministicItemRNG:
+    """__getitem__-time random draws must be deterministic per
+    (epoch, index) and safe under the train loop's thread-pool prefetch
+    (global `random` draws would interleave schedule-dependently)."""
+
+    def _dvc(self, tmp_path):
+        anno = {"vid1": {"g1": [
+            {"text": "opens fridge", "time": 2.0, "timespan": [0.0, 2.0]},
+        ]}}
+        p = _write(tmp_path, "dvc.json", anno)
+        ds = DenseVideoCaptioningStreamDataset(
+            video_root=None, anno_file=p, metadata_path=None,
+            frame_fps=2, tokenizer=TOK, skip_video=True,
+        )
+        ds.metadata = {"vid1": {"duration": 6.0}}
+        ds.annos = ds.build_annos(anno)
+        return ds
+
+    def test_same_index_same_instruction(self, tmp_path):
+        import random as _r
+
+        ds = self._dvc(tmp_path)
+        _r.seed(0)
+        a = ds[0][0]
+        _r.seed(12345)  # global RNG state must not matter
+        b = ds[0][0]
+        assert a == b
+
+    def test_epoch_changes_instruction_distribution(self, tmp_path):
+        ds = self._dvc(tmp_path)
+        texts = set()
+        for e in range(12):
+            ds.set_epoch(e)
+            texts.add(ds[0][0])
+        assert len(texts) > 1  # instruction varies across epochs
+
+    def test_threaded_prefetch_matches_serial(self, tmp_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        ds = self._dvc(tmp_path)
+        serial = [ds[0][0] for _ in range(8)]
+        with ThreadPoolExecutor(4) as pool:
+            threaded = list(pool.map(lambda _: ds[0][0], range(8)))
+        assert threaded == serial
