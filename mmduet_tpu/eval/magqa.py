@@ -163,25 +163,24 @@ class HFJudge:
             conv, add_generation_prompt=True, return_tensors="pt"
         ).to(self.model.device)
         n = self.prompt_input_ids.shape[1]
-        if not self.torch.equal(full[:, :n], self.prompt_input_ids):
+        if full.shape[1] <= n or not self.torch.equal(
+            full[:, :n], self.prompt_input_ids
+        ):
             # template renders a different prefix in-context (e.g. rewrites
             # the trailing turn when it is no longer last): the cached KV
             # cannot be reused for this pair — fall back to a full forward
-            return full
-        return full[:, n:]
+            return full, False
+        return full[:, n:], True
 
     def evaluate(self, question: str, gold: str, pred: str) -> int:
-        new_ids = self._fragment_ids(question, gold, pred)
-        n = self.prompt_input_ids.shape[1]
-        if new_ids.shape[1] > n and self.torch.equal(
-            new_ids[:, :n], self.prompt_input_ids
-        ):
-            # prefix mismatch fallback: _fragment_ids returned the FULL
-            # conversation — generate without the cached prompt KV
-            all_ids, past = new_ids, None
-        else:
+        new_ids, is_suffix = self._fragment_ids(question, gold, pred)
+        if is_suffix:
             all_ids = self.torch.cat([self.prompt_input_ids, new_ids], dim=1)
             past = self._fresh_prompt_cache()
+        else:
+            # prefix-mismatch fallback: new_ids is the FULL conversation —
+            # generate without the cached prompt KV
+            all_ids, past = new_ids, None
         with self.torch.no_grad():
             out = self.model.generate(
                 input_ids=all_ids,

@@ -58,7 +58,8 @@ class TestHFJudge:
         assert text.rstrip().endswith("1<|im_end|>")  # last shot's score
 
     def test_fragment_is_suffix_only(self, judge):
-        frag = judge._fragment_ids("What?", "A cat.", "A dog.")
+        frag, is_suffix = judge._fragment_ids("What?", "A cat.", "A dog.")
+        assert is_suffix
         text = judge.tokenizer.decode(frag[0])
         assert text.startswith("<|im_start|>user\n")
         assert text.endswith("<|im_start|>assistant\n")
@@ -79,7 +80,8 @@ class TestHFJudge:
     def test_cached_kv_matches_full_forward(self, judge):
         """Greedy continuation with the cached prompt KV must equal the
         continuation of a full no-cache forward over the same ids."""
-        frag = judge._fragment_ids("Q?", "gold.", "pred.")
+        frag, is_suffix = judge._fragment_ids("Q?", "gold.", "pred.")
+        assert is_suffix
         all_ids = torch.cat([judge.prompt_input_ids, frag], dim=1)
         with torch.no_grad():
             cached = judge.model.generate(
@@ -151,3 +153,23 @@ class TestHTTPJudge:
             }
         finally:
             srv.shutdown()
+
+
+    def test_prefix_mismatch_falls_back_without_doubling(self, judge):
+        """If the template stops rendering the cached prefix verbatim, the
+        judge must run a full uncached forward — NOT concatenate the
+        prompt twice."""
+        mangled = judge.prompt_input_ids.clone()
+        mangled[0, 0] += 1  # cached prompt no longer a render prefix
+        orig = judge.prompt_input_ids
+        judge.prompt_input_ids = mangled
+        try:
+            ids, is_suffix = judge._fragment_ids("Q?", "g.", "p.")
+            assert not is_suffix
+            # full render: starts with the system turn, exactly one copy
+            text = judge.tokenizer.decode(ids[0])
+            assert text.count("Here are some examples to guide you:") == 1
+            score = judge.evaluate("Q?", "g.", "p.")
+            assert score in (1, 2, 3, 4, 5)
+        finally:
+            judge.prompt_input_ids = orig
