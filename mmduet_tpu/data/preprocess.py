@@ -32,6 +32,7 @@ import json
 import os
 import pathlib
 import subprocess
+from functools import partial
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -182,6 +183,28 @@ def sharded_reencode(
     return dst_root
 
 
+def _encode_batch_fn():
+    """Module-level jitted SigLIP encode: params are ARGUMENTS (not
+    closed over), so one compilation serves every video of a sharded
+    extraction run — a per-video closure would re-trace + re-compile the
+    whole tower for each file."""
+    import jax
+
+    from ..models.siglip import normalize_pixels, siglip_encode
+
+    @partial(jax.jit, static_argnames=("vision_cfg", "dtype_name"))
+    def encode(vision_params, vision_cfg, px_u8, dtype_name):
+        import jax.numpy as jnp
+
+        px = normalize_pixels(px_u8).astype(jnp.dtype(dtype_name))
+        return siglip_encode(vision_params, vision_cfg, px)
+
+    return encode
+
+
+_ENCODE_BATCH = None
+
+
 def extract_features(
     video_path: str,
     vision_params,
@@ -195,22 +218,18 @@ def extract_features(
 ):
     """Decode one video and run the SigLIP tower → raw patch features
     (T, num_patches, vision_hidden) as a numpy array."""
-    import jax
     import jax.numpy as jnp
 
-    from ..models.siglip import normalize_pixels, siglip_encode
     from .video import decode_video
 
-    dtype = dtype or jnp.float32
+    global _ENCODE_BATCH
+    if _ENCODE_BATCH is None:
+        _ENCODE_BATCH = _encode_batch_fn()
+    dtype_name = jnp.dtype(dtype or jnp.float32).name
     frames, fps, duration = decode_video(
         video_path, output_fps=output_fps, resolution=resolution,
         max_num_frames=max_num_frames,
     )
-
-    @jax.jit
-    def encode(px_u8):
-        px = normalize_pixels(px_u8).astype(dtype)
-        return siglip_encode(vision_params, vision_cfg, px)
 
     chunks = []
     T = frames.shape[0]
@@ -221,7 +240,8 @@ def extract_features(
             batch = np.concatenate(
                 [batch, np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)]
             )
-        chunks.append(np.asarray(encode(jnp.asarray(batch))[:n], np.float32))
+        out = _ENCODE_BATCH(vision_params, vision_cfg, jnp.asarray(batch), dtype_name)
+        chunks.append(np.asarray(out[:n], np.float32))
     feats = np.concatenate(chunks, axis=0)
     return feats, fps, duration
 

@@ -180,9 +180,8 @@ def main(argv=None):
     engine = build_engine(args)
     engine.__class__ = LiveInferForDemo
 
-    # decode at the MODEL's frame resolution (the CLI default is the 7B's
-    # 384px; a tiny/random model expects its own configured size)
-    resolution = engine.cfg.frame_resolution
+    # decode at the MODEL's frame resolution unless explicitly overridden
+    resolution = args.frame_resolution or engine.cfg.frame_resolution
     frames, fps, duration = decode_video(
         args.video, args.frame_fps, resolution, args.max_num_frames
     )

@@ -187,6 +187,14 @@ def eval_dense_captioning(
     # make_meteor prefers the meteor-1.5.jar subprocess backend when a
     # jar is available ($METEOR_JAR), restoring jar-exact protocol scores
     cider, meteor = Cider(), make_meteor()
+    try:
+        return _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor)
+    finally:
+        if hasattr(meteor, "close"):
+            meteor.close()  # the jar backend holds a java subprocess
+
+
+def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor):
 
     precisions, recalls = [], []
     soda_scores = []

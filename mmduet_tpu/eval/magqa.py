@@ -191,7 +191,9 @@ class HFJudge:
         text = self.tokenizer.decode(
             out[0, all_ids.shape[1]:], skip_special_tokens=True
         )
-        return text_score_to_int(text)
+        # strip: a leading space/newline from the chat template would make
+        # the first-char digit check misscore every pair as 1
+        return text_score_to_int(text.strip())
 
 
 class HTTPJudge:

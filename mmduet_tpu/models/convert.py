@@ -342,9 +342,11 @@ def convert_hf_checkpoint(
     def to_device(x):
         if x is None:
             return None
-        if hasattr(x, "dtype") and _np.issubdtype(_np.dtype(x.dtype), _np.floating):
+        # jnp.issubdtype (unlike numpy's) treats ml_dtypes.bfloat16 as
+        # floating — a bf16 checkpoint must still honor --dtype float32
+        if hasattr(x, "dtype") and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating):
             return jnp.asarray(x, dtype)
-        return jnp.asarray(x)  # int8 qw stays int8; bf16 scales stay
+        return jnp.asarray(x)  # int8 qw stays int8
 
     params = jax.tree.map(to_device, params)
     lora = None

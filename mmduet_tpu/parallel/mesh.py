@@ -42,10 +42,11 @@ def make_mesh(
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    want = shape[0] * shape[1]
-    if want > n:
-        raise ValueError(f"mesh shape {shape} needs {want} devices, have {n}")
-    arr = np.array(devices[:want]).reshape(shape)
+    if shape[0] * shape[1] != n:
+        # strict: silently idling chips is a throughput footgun — callers
+        # that WANT a subset pass an explicit devices slice
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.array(devices).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -108,23 +108,30 @@ def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
 
     order = list(range(len(dataset)))
     rng = random.Random(seed)
+    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
 
-    def epoch_indices():
+    def samples():
+        # set_epoch must not race with in-flight prefetch: each epoch's
+        # _prefetch_map fully drains before the next epoch's set_epoch
+        # runs (the generator below only advances after exhaustion)
         for epoch in range(epochs):
             if hasattr(dataset, "set_epoch"):
                 dataset.set_epoch(epoch)  # vary per-item RNG across epochs
             rng.shuffle(order)
-            yield from order
+            idxs = list(order)
+            if pool is None:
+                for i in idxs:
+                    yield dataset[i]
+            else:
+                yield from _prefetch_map(
+                    pool, dataset.__getitem__, idxs, depth=2 * num_workers
+                )
 
-    if num_workers <= 0:
-        samples = (dataset[i] for i in epoch_indices())
-        yield from _accumulate(samples, collator, B, A, stack_accum)
-        return
-    with ThreadPoolExecutor(num_workers) as pool:
-        samples = _prefetch_map(
-            pool, dataset.__getitem__, epoch_indices(), depth=2 * num_workers
-        )
-        yield from _accumulate(samples, collator, B, A, stack_accum)
+    try:
+        yield from _accumulate(samples(), collator, B, A, stack_accum)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _prefetch_map(pool, fn, iterable, depth):
@@ -198,7 +205,11 @@ def main(argv=None):
     # --- mesh & sharding -------------------------------------------------
     n_dev = len(jax.devices())
     data_n = args.mesh_data or (n_dev // args.mesh_model)
-    mesh = make_mesh((data_n, args.mesh_model))
+    want = data_n * args.mesh_model
+    if want < n_dev:
+        print(f"WARNING: mesh ({data_n}x{args.mesh_model}) uses {want} of "
+              f"{n_dev} devices; the rest stay idle")
+    mesh = make_mesh((data_n, args.mesh_model), devices=jax.devices()[:want])
     params = shard_params(params, mesh, mode=args.param_mode)
 
     # --- data ------------------------------------------------------------
