@@ -19,6 +19,14 @@ def load_jsonl(path):
         return [json.loads(l) for l in f if l.strip()]
 
 
+def _flag(v) -> bool:
+    """Parse a bool CLI value: accepts 0/1/true/false (the reference uses
+    `--is_online_model 0/1`, `test/evaluate.py:180`)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() not in ("0", "false", "no", "")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="MMDuet-TPU evaluation")
     p.add_argument("--func", required=True,
@@ -34,6 +42,17 @@ def main(argv=None):
     p.add_argument("--num_examples", type=int, default=2000)
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=None)
+    # baseline-output (timechat/vtimellm/plain-LLaVA) handling, reference
+    # `test/evaluate.py:180,184-185`
+    p.add_argument("--is_online_model", type=_flag, default=True,
+                   help="0: pred_file holds baseline free-text outputs that"
+                        " are reformatted in-eval (reference is_online_model=0)")
+    p.add_argument("--concat_pred_list", type=_flag, default=False,
+                   help="magqa: judge the deduped concatenation of all pred"
+                        " turns as one answer (`evaluate.py:260-266`)")
+    p.add_argument("--prev_output_file", default=None,
+                   help="magqa: resume — reuse already-judged lines from a"
+                        " previous output file (`evaluate.py:217-220`)")
     args = p.parse_args(argv)
 
     if args.func == "grounding":
@@ -41,7 +60,9 @@ def main(argv=None):
 
         preds = load_jsonl(args.pred_file)
         golds = json.load(open(args.gold_file))
-        if preds and "model_response" in preds[0] and "debug_data" not in preds[0]:
+        if not args.is_online_model or (
+            preds and "model_response" in preds[0] and "debug_data" not in preds[0]
+        ):
             # offline-baseline outputs: text spans, not per-frame scores
             m = evaluate_grounding_baseline(preds, golds)
             print(f"baseline: mIoU/R@.3/R@.5/R@.7 = "
@@ -63,10 +84,21 @@ def main(argv=None):
             json.dump(results, open(args.output_file, "w"), indent=2)
 
     elif args.func == "qvh_highlight":
-        from .qvh import evaluate_qvh
+        from .qvh import eval_submission, evaluate_qvh
 
         preds = load_jsonl(args.pred_file)
         golds = load_jsonl(args.gold_file)
+        if not args.is_online_model:
+            # baseline free-text spans → one-hot clip saliency
+            # (reference `test/evaluate.py:347-360`; no window sweep)
+            from .offline_baseline import baseline_qvh_saliency
+
+            sub = [s for s in map(baseline_qvh_saliency, preds) if s is not None]
+            results = eval_submission(sub, golds, match_number=False)
+            print(results["brief"])
+            if args.output_file:
+                json.dump(results, open(args.output_file, "w"), indent=2)
+            return
         results = evaluate_qvh(preds, golds)
         best = max(
             results,
@@ -81,10 +113,21 @@ def main(argv=None):
 
         preds = load_jsonl(args.pred_file)
         golds = json.load(open(args.gold_file))
-        pred_out = {
-            str(ex["question_id"]): merge_response_segments(ex["model_response_list"])
-            for ex in preds
-        }
+        if args.is_online_model:
+            pred_out = {
+                str(ex["question_id"]): merge_response_segments(ex["model_response_list"])
+                for ex in preds
+            }
+        else:
+            # baseline free text → timed captions; parse picked by the pred
+            # FILENAME as in the reference (`test/evaluate.py:452-472`)
+            from .offline_baseline import baseline_dvc_captions
+
+            is_vtimellm = "vtimellm" in args.pred_file
+            pred_out = {
+                str(ex["question_id"]): baseline_dvc_captions(ex, is_vtimellm)
+                for ex in preds
+            }
         gold_out = []
         for g in golds:
             if str(g["question_id"]) not in pred_out:
@@ -104,19 +147,44 @@ def main(argv=None):
 
     elif args.func == "magqa":
         from .magqa import HFJudge, HTTPJudge, judge_example
+        from .offline_baseline import convert_to_online_format
 
-        preds = load_jsonl(args.pred_file)[args.start_idx : args.end_idx]
+        preds = load_jsonl(args.pred_file)
+        prev_outputs = (
+            load_jsonl(args.prev_output_file) if args.prev_output_file else []
+        )
         golds = {e["question_id"]: e for e in json.load(open(args.gold_file))}
         judge = (
             HTTPJudge(args.llm_pretrained)
             if args.llm_pretrained and args.llm_pretrained.startswith("http")
             else HFJudge(args.llm_pretrained)
         )
+        end_idx = args.end_idx if args.end_idx is not None else len(preds)
+        n_judged = 0
         with open(args.output_file, "w") as f:
-            for ex in preds:
-                out = judge_example(ex, golds[ex["question_id"]], judge)
+            for i, ex in enumerate(preds):
+                if i < args.start_idx or i >= end_idx:
+                    continue
+                # resume: reuse already-judged lines (`evaluate.py:217-220`)
+                if i < len(prev_outputs):
+                    f.write(json.dumps(prev_outputs[i]) + "\n")
+                    continue
+                if not args.is_online_model:
+                    ex = convert_to_online_format(ex)
+                # no assistant turns at all → no output row (`evaluate.py:255-256`)
+                if not any(
+                    t["role"] == "assistant" for t in ex.get("model_response_list", [])
+                ):
+                    continue
+                out = judge_example(
+                    ex, golds[ex["question_id"]], judge,
+                    concat_pred_list=args.concat_pred_list,
+                )
                 f.write(json.dumps(out) + "\n")
-        print(f"judged {len(preds)} examples -> {args.output_file}")
+                n_judged += 1
+                if n_judged % 10 == 0:
+                    f.flush()
+        print(f"judged {n_judged} examples -> {args.output_file}")
 
     elif args.func == "magqa_analyze":
         from .magqa import analyze_magqa

@@ -214,14 +214,30 @@ class HTTPJudge:
 
 
 def judge_example(
-    pred_example: dict, gold_example: dict, evaluator
+    pred_example: dict, gold_example: dict, evaluator,
+    concat_pred_list: bool = False,
 ) -> dict:
     """Score one example: fills 'evaluator_output' (gold×pred matrix,
     default 1), 'answer', 'answer_time'. Only in-span pairs are judged
-    (reference `evaluate.py:284-301`); pred time -1 matches any span."""
+    (reference `evaluate.py:284-301`); pred time -1 matches any span.
+
+    ``concat_pred_list`` reproduces `evaluate.py:260-266`: dedup pred
+    turns case-insensitively (keeping first spelling) and judge their
+    space-joined concatenation as ONE pred turn. The reference leaves
+    ``pred_time_list`` untouched, so the joined turn inherits the FIRST
+    answer's timestamp for the in-span check, and the output matrix is
+    gold×1 while ``model_response_list`` keeps all original turns."""
     answers = [e for e in pred_example["model_response_list"] if e["role"] == "assistant"]
     pred_list = [e["content"] for e in answers]
     pred_times = [e["time"] for e in answers]
+    if concat_pred_list and pred_list:
+        seen, uniq = set(), []
+        for pred in pred_list:
+            key = pred.lower().strip()
+            if key not in seen:
+                seen.add(key)
+                uniq.append(pred)
+        pred_list = [" ".join(uniq)]
     gold_list = [e["content"] for e in gold_example["answer"]]
     gold_spans = [e["time"] for e in gold_example["answer"]]
     question = gold_example["conversation"][0]["content"]

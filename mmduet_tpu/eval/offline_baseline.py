@@ -91,8 +91,13 @@ _TIMECHAT_PAT = re.compile(r"(\d+\.\d+) - (\d+\.\d+)\s*seconds,\s*(.*)")
 
 
 def convert_to_online_format(example: Dict) -> Dict:
-    """Adds ``model_response_list`` parsed from ``model_response[0]``."""
-    text = example["model_response"][0]
+    """Adds ``model_response_list`` parsed from ``model_response``.
+
+    Matches the reference magqa reformat branch (`test/evaluate.py:224-250`),
+    which accepts ``model_response`` as either a list or a bare string."""
+    text = example["model_response"]
+    if isinstance(text, list):
+        text = text[0]
     video_length = example["video_duration"]
     turns: List[Dict] = []
     for m in _VTIMELLM_PAT.findall(text):
@@ -106,3 +111,68 @@ def convert_to_online_format(example: Dict) -> Dict:
     example = dict(example)
     example["model_response_list"] = turns
     return example
+
+
+_TWO_NUMBERS_PAT = re.compile(r"\d+\.?\d*")
+
+
+def parse_baseline_span(example: Dict) -> Optional[tuple]:
+    """Extract a (start_sec, end_sec) span from a baseline's free text.
+
+    Reference qvh/grounding `is_online_model=0` parse
+    (`test/evaluate.py:351-356,415-421`): exactly two numbers in the
+    response; if the text contains both "from" and "to" it is a vtimellm
+    percentage output, rescaled by the video duration. Returns None when
+    the response does not contain exactly two numbers (the reference
+    skips those examples)."""
+    text = example["model_response"]
+    if isinstance(text, list):
+        text = text[0]
+    matches = _TWO_NUMBERS_PAT.findall(text)
+    if len(matches) != 2:
+        return None
+    start_sec, end_sec = float(matches[0]), float(matches[1])
+    if "from" in text.lower() and "to" in text.lower():
+        video_length = example["video_duration"]
+        start_sec = start_sec / 100 * video_length
+        end_sec = end_sec / 100 * video_length
+    return start_sec, end_sec
+
+
+def baseline_qvh_saliency(example: Dict) -> Optional[Dict]:
+    """Baseline text → QVH saliency submission (`test/evaluate.py:348-358`):
+    one-hot 2-sec clips inside the parsed span."""
+    span = parse_baseline_span(example)
+    if span is None:
+        return None
+    start_sec, end_sec = span
+    video_length = example["video_duration"]
+    scores = [1 if start_sec < sec < end_sec else 0
+              for sec in range(0, int(video_length), 2)]
+    return {"qid": example["question_id"], "pred_saliency_scores": scores}
+
+
+def baseline_dvc_captions(example: Dict, is_vtimellm: bool) -> List[Dict]:
+    """Baseline text → dense-captioning prediction rows
+    (`test/evaluate.py:452-472`). The reference picks the parse by the
+    pred FILENAME: vtimellm files use the "From P1 to P2" percent format,
+    everything else the timechat "S - E seconds," format."""
+    text = example["model_response"]
+    if isinstance(text, list):
+        text = text[0]
+    captions: List[Dict] = []
+    if is_vtimellm:
+        video_length = example["video_duration"]
+        for m in _VTIMELLM_PAT.findall(text):
+            captions.append({
+                "timestamp": [int(m[0]) / 100 * video_length,
+                              int(m[1]) / 100 * video_length],
+                "caption": m[2],
+            })
+    else:
+        for m in _TIMECHAT_PAT.findall(text):
+            captions.append({
+                "timestamp": [float(m[0]), float(m[1])],
+                "caption": m[2],
+            })
+    return captions
