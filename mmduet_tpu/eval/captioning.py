@@ -5,7 +5,12 @@ stanford-corenlp, METEOR 1.5 — `test/dvc/metrics/`, SURVEY.md §2.9) that
 are large binary blobs. This module reimplements the stack self-contained:
 
 - :func:`ptb_tokenize` — the PTBTokenizer contract as used by
-  pycocoevalcap: lowercase, split, drop the standard punctuation list;
+  pycocoevalcap: lowercase, PTB contraction/possessive/assimilation
+  splits, quote/bracket/dash normalization, then the fork's punctuation
+  filter (incl. its lowercase-bracket survival quirk). Not a full clone
+  of the corenlp lexer (no sentence-final-abbreviation logic, no rare
+  REDAUX entries); :class:`PTBTokenizerJar` restores jar-exactness when
+  $CORENLP_JAR is set;
 - :class:`Cider` — faithful reimplementation of the published CIDEr-D-less
   CIDEr algorithm (TF-IDF n-gram cosine, n=1..4, sigma=6, ×10) matching
   pycocoevalcap's `cider_scorer.py` semantics;
@@ -34,12 +39,144 @@ PUNCTUATIONS = {
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
 
-_TOKEN_RE = re.compile(r"[\w']+|[^\w\s]")
+# ---------------------------------------------------------------------------
+# PTB tokenization (stanford-corenlp PTBTokenizer `-preserveLines -lowerCase`
+# as invoked by the pycocoevalcap fork, `test/dvc/metrics/ptbtokenizer.py:48-50`)
+# followed by the fork's punctuation filter (`ptbtokenizer.py:89-90`).
+#
+# Faithfulness notes:
+# - contractions split PTB-style: "don't"→"do n't" (incl. "can't"→"ca n't"),
+#   "it's"→"it 's", "'s/'m/'re/'ve/'ll/'d" become separate tokens that
+#   SURVIVE the punctuation filter;
+# - assimilations split: cannot→"can not", gonna→"gon na", 'tis→"'t is" …;
+# - plural possessive "dogs'" → "dogs '" (the "'" is then filtered);
+# - brackets normalize to -lrb-/-rrb-/… — LOWERCASE, because the jar is run
+#   with -lowerCase; the fork's filter list has them UPPERCASE, so bracket
+#   tokens survive into the metrics. A deliberate quirk reproduction;
+# - quotes normalize to ``/''/` /' (all filtered), unicode quotes/dashes
+#   normalized first;
+# - numbers keep internal [.,:] ("1,000", "3.5", "2:30"), "$"/"%" are
+#   standalone surviving tokens, intra-word hyphens are kept.
+# ---------------------------------------------------------------------------
+
+_ASSIMILATIONS = {
+    "cannot": ("can", "not"), "gonna": ("gon", "na"), "gotta": ("got", "ta"),
+    "lemme": ("lem", "me"), "gimme": ("gim", "me"), "wanna": ("wan", "na"),
+    "'tis": ("'t", "is"), "'twas": ("'t", "was"),
+}
+# leading-apostrophe words the PTB lexer keeps whole (REDAUX set)
+_APOS_WORDS = {"'em", "'til", "'cause", "'ere", "'n'", "'n"}
+_CONTRACTION_SUFFIXES = ("'s", "'m", "'re", "'ve", "'ll", "'d")
+
+_BRACKETS = {"(": "-lrb-", ")": "-rrb-", "[": "-lsb-", "]": "-rsb-",
+             "{": "-lcb-", "}": "-rcb-"}
+
+_UNICODE_NORM = {
+    "’": "'", "‘": "'", "“": '"', "”": '"',
+    "—": "--", "–": "--", "…": "...",
+}
+
+_PTB_SCAN = re.compile(
+    r"""(?:[a-z]\.){2,}[a-z]?         # abbreviations: u.s., p.m., e.g.
+      | \d+(?:[.,:]\d+)*[a-z]*(?:-[a-z0-9]+)*   # 1,000 3.5 2:30 1990s 4-year-old
+      | '?[a-z]+(?:['-][a-z0-9]+)*    # words: don't o'clock well-known 'em
+      | \.\.\.
+      | --
+      | \S                            # any other single character
+    """,
+    re.X,
+)
+
+
+def _split_word(tok: str) -> List[str]:
+    """PTB post-splits on one scanned word token (already lowercase)."""
+    if tok in _ASSIMILATIONS:
+        return list(_ASSIMILATIONS[tok])
+    if tok.startswith("'") and tok not in _APOS_WORDS:
+        # unknown leading apostrophe = opening quote, not part of the word
+        return ["'"] + (_split_word(tok[1:]) if len(tok) > 1 else [])
+    if tok.endswith("n't") and len(tok) > 3:
+        return [tok[:-3], "n't"]
+    for suf in _CONTRACTION_SUFFIXES:
+        if tok.endswith(suf) and len(tok) > len(suf):
+            head = tok[: -len(suf)]
+            # o'clock-style internal apostrophes are not contractions of
+            # these suffixes when the head itself ends with an apostrophe
+            if not head.endswith("'"):
+                return [head, suf]
+    return [tok]
 
 
 def ptb_tokenize(text: str) -> str:
-    toks = _TOKEN_RE.findall(text.lower())
+    for src, dst in _UNICODE_NORM.items():
+        text = text.replace(src, dst)
+    text = text.replace("\n", " ").lower()
+    toks: List[str] = []
+    for tok in _PTB_SCAN.findall(text):
+        if tok in _BRACKETS:
+            toks.append(_BRACKETS[tok])
+        elif tok == '"':
+            toks.append("''")
+        elif tok[0].isalpha() or tok.startswith("'"):
+            toks.extend(_split_word(tok))
+        else:
+            toks.append(tok)
     return " ".join(t for t in toks if t not in PUNCTUATIONS)
+
+
+def ptb_tokenize_batch(texts: Sequence[str]) -> List[str]:
+    return [ptb_tokenize(t) for t in texts]
+
+
+class PTBTokenizerJar:
+    """stanford-corenlp PTBTokenizer subprocess backend — the exact CLI
+    contract of the reference (`test/dvc/metrics/ptbtokenizer.py:48-81`):
+    one java invocation per batch, `-preserveLines -lowerCase`, sentences
+    joined by newlines through a temp file, then the fork's punctuation
+    filter. Select it by pointing $CORENLP_JAR at stanford-corenlp-*.jar."""
+
+    def __init__(self, jar_path: str, java_bin: str = None):
+        import os
+
+        self.jar = jar_path
+        self.java = java_bin or os.environ.get("JRE_BIN_JAVA", "java")
+        if not os.path.exists(jar_path):
+            raise FileNotFoundError(jar_path)
+
+    def __call__(self, texts: Sequence[str]) -> List[str]:
+        import os
+        import subprocess
+        import tempfile
+
+        sentences = "\n".join(t.replace("\n", " ") for t in texts)
+        fd, tmp = tempfile.mkstemp()
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(sentences)
+            out = subprocess.run(
+                [self.java, "-cp", self.jar,
+                 "edu.stanford.nlp.process.PTBTokenizer",
+                 "-preserveLines", "-lowerCase", tmp],
+                stdout=subprocess.PIPE, check=True,
+            ).stdout.decode()
+        finally:
+            os.remove(tmp)
+        lines = out.split("\n")
+        return [
+            " ".join(w for w in line.rstrip().split(" ") if w not in PUNCTUATIONS)
+            for line in lines[: len(texts)]
+        ]
+
+
+def make_ptb_tokenizer(jar_path: str = None):
+    """Batch tokenizer factory: the corenlp jar when available
+    ($CORENLP_JAR or explicit path), else the pure-python contract."""
+    import os
+
+    jar = jar_path or os.environ.get("CORENLP_JAR")
+    if jar and os.path.exists(jar):
+        return PTBTokenizerJar(jar)
+    return ptb_tokenize_batch
 
 
 # ---------------------------------------------------------------------------

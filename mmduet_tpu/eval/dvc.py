@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .captioning import Cider, make_meteor, ptb_tokenize
+from .captioning import Cider, make_meteor, make_ptb_tokenizer, ptb_tokenize
 from .span_utils import span_iou
 
 IOU_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
@@ -184,17 +184,40 @@ def eval_dense_captioning(
     gold_out: [{'image_id', 'segments', 'pure_cap'}] (reference gold JSON).
     Returns {SODA_c, CIDEr, METEOR, Precision@avg, Recall@avg, F1} ×100."""
     random.seed(seed)
-    # make_meteor prefers the meteor-1.5.jar subprocess backend when a
-    # jar is available ($METEOR_JAR), restoring jar-exact protocol scores
+    # make_meteor / make_ptb_tokenizer prefer the reference's java-jar
+    # subprocess backends when available ($METEOR_JAR / $CORENLP_JAR),
+    # restoring jar-exact protocol scores
     cider, meteor = Cider(), make_meteor()
     try:
-        return _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor)
+        return _eval_dense_captioning_inner(
+            pred_out, gold_out, cider, meteor, make_ptb_tokenizer()
+        )
     finally:
         if hasattr(meteor, "close"):
             meteor.close()  # the jar backend holds a java subprocess
 
 
-def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor):
+def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor,
+                                 tokenize_batch=None):
+    if tokenize_batch is None:
+        tokenize_batch = lambda texts: [ptb_tokenize(t) for t in texts]
+
+    # tokenize every caption in ONE batch call (the jar backend pays one
+    # JVM start per call, like the reference's single tokenize() pass)
+    gold_caps_raw = {str(g["image_id"]): g["pure_cap"].split(". ")
+                     for g in gold_out}
+    pred_caps_raw = {str(g["image_id"]):
+                     [p["caption"] or "" for p in pred_out.get(str(g["image_id"]), [])]
+                     for g in gold_out}
+    flat, spans = [], {}
+    for key in gold_caps_raw:
+        spans[key] = (len(flat), len(gold_caps_raw[key]), len(pred_caps_raw[key]))
+        flat.extend(gold_caps_raw[key])
+        flat.extend(pred_caps_raw[key])
+    flat_tok = tokenize_batch(flat)
+    gt_caps_tok = {k: flat_tok[s : s + ng] for k, (s, ng, _) in spans.items()}
+    pred_caps_tok = {k: flat_tok[s + ng : s + ng + np_]
+                     for k, (s, ng, np_) in spans.items()}
 
     precisions, recalls = [], []
     soda_scores = []
@@ -204,11 +227,10 @@ def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor):
 
     for gold in gold_out:
         key = str(gold["image_id"])
-        caps = [c for c in gold["pure_cap"].split(". ")]
-        gt_caps = [ptb_tokenize(c) for c in caps]
+        gt_caps = gt_caps_tok[key]
         gt_segs = np.array(gold["segments"], float)
         preds = pred_out.get(key, [])
-        pred_caps = [ptb_tokenize(p["caption"] or "") for p in preds]
+        pred_caps = pred_caps_tok[key]
         pred_segs = np.array([p["timestamp"] for p in preds], float) if preds else np.zeros((0, 2))
 
         prec, rec, iou_matrix = evaluate_detections(pred_segs, gt_segs)

@@ -101,7 +101,66 @@ class TestQVH:
 
 class TestCaptioning:
     def test_ptb_tokenize(self):
-        assert ptb_tokenize("Hello, World! It's fine.") == "hello world it's fine"
+        assert ptb_tokenize("Hello, World! It's fine.") == "hello world it 's fine"
+
+    def test_ptb_golden_corpus(self):
+        """Documented stanford-PTBTokenizer behaviors (-preserveLines
+        -lowerCase) after the pycocoevalcap punctuation filter
+        (`test/dvc/metrics/ptbtokenizer.py:18,89-90`)."""
+        cases = {
+            # contractions split PTB-style; "n't"/"'s" survive the filter
+            "A man don't like it.": "a man do n't like it",
+            "I can't believe it's not butter!": "i ca n't believe it 's not butter",
+            "They're well-known, aren't they?": "they 're well-known are n't they",
+            "We've seen he'll win; she'd agree.": "we 've seen he 'll win she 'd agree",
+            # possessives
+            "The dog's bone": "the dog 's bone",
+            "the kids' toys": "the kids toys",
+            # assimilations
+            "cannot wait...": "can not wait",
+            "gonna cost $5.50": "gon na cost $ 5.50",
+            "'tis the season": "'t is the season",
+            # brackets survive LOWERCASE (the jar lowercases -LRB- so the
+            # fork's uppercase filter misses them — quirk reproduced)
+            "a cat (red) [big]": "a cat -lrb- red -rrb- -lsb- big -rsb-",
+            # quotes/dashes/ellipsis removed, incl. unicode forms
+            '"Hello" — she said…': "hello she said",
+            "it’s fine": "it 's fine",
+            # numbers keep internal punctuation; % is a surviving token
+            "50% of 1,000 at 2:30 p.m.": "50 % of 1,000 at 2:30 p.m.",
+            # o'clock and 'em stay whole
+            "five o'clock for 'em": "five o'clock for 'em",
+        }
+        for raw, want in cases.items():
+            assert ptb_tokenize(raw) == want, raw
+
+    def test_ptb_batch_matches_single(self):
+        from mmduet_tpu.eval.captioning import make_ptb_tokenizer
+
+        tok = make_ptb_tokenizer()
+        texts = ["A man don't like it.", "cannot wait...", ""]
+        assert tok(texts) == [ptb_tokenize(t) for t in texts]
+
+    def test_ptb_jar_parity(self):
+        """Pure-python vs the actual corenlp jar (runs only where java +
+        $CORENLP_JAR exist — quantifies the drift VERDICT r1/r2 asked for)."""
+        import os
+        import shutil
+
+        jar = os.environ.get("CORENLP_JAR")
+        if not (jar and os.path.exists(jar) and shutil.which("java")):
+            pytest.skip("corenlp jar / java not available")
+        from mmduet_tpu.eval.captioning import PTBTokenizerJar
+
+        texts = [
+            "A man don't like it.", "I can't believe it's not butter!",
+            "The dog's bone (red).", "cannot wait...", "gonna cost $5.50",
+            "the kids' toys", "50% of 1,000 at 2:30 p.m.",
+            "five o'clock for 'em", '"Hello" she said', "'tis the season",
+        ]
+        jar_out = PTBTokenizerJar(jar)(texts)
+        py_out = [ptb_tokenize(t) for t in texts]
+        assert jar_out == py_out
 
     def test_porter_stem(self):
         assert porter_stem("caresses") == "caress"
