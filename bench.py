@@ -139,14 +139,19 @@ def run_score(params, text, cfg):
             params, cfg, embeds[None], KVCache(k, v), cache_len,
             jnp.int32(FRAME_TOKENS), compute_lm_logits=False,
         )
-        return out.informative_prob[0], out.relevance_prob[0], out.kv_cache.k, out.kv_cache.v
+        # both scores stacked: the host sync is ONE tiny transfer (a second
+        # scalar fetch costs a full extra tunnel RTT); the cursor advances
+        # on device so no host->device transfer gates the next dispatch
+        scores = jnp.stack([out.informative_prob[0], out.relevance_prob[0]])
+        return scores, out.kv_cache.k, out.kv_cache.v, cache_len + FRAME_TOKENS
 
     @partial(jax.jit, donate_argnums=(1, 2))
     def frames_block(params, k, v, frames, cache_len):
         inf, rel, c = mmduet.frames_block_forward(
             params, cfg, frames, KVCache(k, v), cache_len
         )
-        return inf, rel, c.k, c.v
+        n_tok = frames.shape[0] * frames.shape[1]
+        return inf, rel, c.k, c.v, cache_len + n_tok
 
     rng = jax.random.PRNGKey(3)
     frame = jax.random.normal(
@@ -155,29 +160,26 @@ def run_score(params, text, cfg):
     frames = jnp.broadcast_to(frame, (BLOCK, *frame.shape))
 
     k, v = cache.k, cache.v
-    inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(0))
+    cl = jnp.int32(0)  # device-resident cursor
+    inf, rel, k, v, cl = frames_block(params, k, v, frames, cl)
     float(inf[-1])  # warmup/compile
 
     lat, single_lat = [], []
-    cursor = BLOCK * FRAME_TOKENS
     for _ in range(1, MAX_FRAMES // BLOCK):
         t0 = time.perf_counter()
-        inf, rel, k, v = frames_block(params, k, v, frames, jnp.int32(cursor))
+        inf, rel, k, v, cl = frames_block(params, k, v, frames, cl)
         float(inf[-1])  # ONE host sync per block, as the engine does
         dt = (time.perf_counter() - t0) * 1000
         lat.extend([dt / BLOCK] * BLOCK)
-        cursor += BLOCK * FRAME_TOKENS
 
     # single-step latency (interactive/demo mode)
-    inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
-    float(inf)
-    cursor += FRAME_TOKENS
+    scores, k, v, cl = frame_step(params, k, v, frame, cl)
+    np.asarray(scores)
     for _ in range(20):
         t0 = time.perf_counter()
-        inf, rel, k, v = frame_step(params, k, v, frame, jnp.int32(cursor))
-        float(inf)
+        scores, k, v, cl = frame_step(params, k, v, frame, cl)
+        np.asarray(scores)  # single fetch of both scores
         single_lat.append((time.perf_counter() - t0) * 1000)
-        cursor += FRAME_TOKENS
     del k, v
     return np.array(lat), np.array(single_lat)
 
@@ -291,14 +293,110 @@ def run_vision(batch=32):
     return batch / min(times)
 
 
-def peak_hbm_gb():
+def hbm_probe():
+    """(peak_gb, resident_gb, method). Some platforms (axon tunnel) lack
+    `memory_stats()`; fall back to summing live device arrays — that is
+    the RESIDENT footprint visible from Python, not XLA's true peak
+    (scratch/temp buffers excluded), and the method key says which."""
     import jax
 
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return round(stats["peak_bytes_in_use"] / 2**30, 2)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak is not None:
+            return (
+                round(peak / 2**30, 2),
+                round(stats.get("bytes_in_use", 0) / 2**30, 2),
+                "memory_stats",
+            )
     except Exception:
-        return None
+        pass
+    live = sum(x.nbytes for x in jax.live_arrays())
+    return None, round(live / 2**30, 2), "live_arrays"
+
+
+def run_e2e_int8_serving(layers: int, n_frames: int = 384):
+    """Single-chip fully-resident serving demo: int8 decoder + int8
+    152k lm_head + bf16 SigLIP + projector + a 400-frame KV cache in ONE
+    process, driven through the REAL `LiveInferEngine.inference()` loop:
+    pixels -> batched vision encode -> fused block scoring -> threshold
+    triggers -> greedy generation (+ rollback/joiner paths).
+
+    Score heads are zeroed so informative_prob == 0.5 exactly; with
+    `stream_end_score_sum_threshold=24.75` the sum-threshold policy
+    triggers a generation deterministically every ~50 frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.config import TestArgs
+    from mmduet_tpu.infer.engine import LiveInferEngine
+    from mmduet_tpu.models import siglip
+    from mmduet_tpu.stream import CharTokenizer
+
+    params, text, cfg = build_decoder_int8(layers)
+    params = dict(params)
+    params["informative_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
+    params["relevance_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
+    rng = jax.random.PRNGKey(1)
+    params["vision"] = siglip.init_siglip_params(rng, cfg.vision, jnp.bfloat16)
+    h, vh = text.hidden_size, cfg.vision.hidden_size
+    params["projector"] = {
+        "fc1": jax.random.normal(jax.random.fold_in(rng, 1), (vh, h), jnp.bfloat16) * 0.02,
+        "fc1_bias": jnp.zeros((h,), jnp.bfloat16),
+        "fc2": jax.random.normal(jax.random.fold_in(rng, 2), (h, h), jnp.bfloat16) * 0.02,
+        "fc2_bias": jnp.zeros((h,), jnp.bfloat16),
+    }
+
+    tok = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    args = TestArgs(
+        stream_end_prob_threshold=None,
+        stream_end_score_sum_threshold=24.75,
+        score_heads="informative_score",
+        max_new_tokens=16,
+        frame_fps=2.0,
+        max_num_frames=400,
+    )
+    engine = LiveInferEngine(
+        params, cfg.replace(v_placeholder_id=511, eos_token_id=2),
+        tok, args, block_frames=32, dtype=jnp.bfloat16,
+    )
+    engine.set_fps(2.0)
+
+    pixels = np.random.RandomState(0).randint(
+        0, 255, (n_frames, cfg.frame_resolution, cfg.frame_resolution, 3),
+        np.uint8,
+    )
+    t0 = time.perf_counter()
+    engine.input_video_stream(pixels)
+    jax.block_until_ready(engine.frame_embeds)
+    t_vision = time.perf_counter() - t0
+
+    engine.input_query_stream(
+        [{"role": "user", "content": "What is happening?", "time": 0.0}]
+    )
+    t0 = time.perf_counter()
+    responses = engine.inference()
+    t_stream = time.perf_counter() - t0
+    n_gen = sum(1 for r in responses if r["role"] == "assistant")
+
+    peak, resident, method = hbm_probe()
+    lat = np.array(engine.frame_latencies_ms)
+    out = {
+        "e2e_int8_serving": {
+            "frames": int(n_frames),
+            "vision_encode_s": round(t_vision, 2),
+            "stream_s": round(t_stream, 2),
+            "score_p50_ms_per_frame": round(float(np.percentile(lat, 50)), 2),
+            "generations": int(n_gen),
+            "resident_hbm_gb": resident,
+            "hbm_method": method,
+        }
+    }
+    if peak is not None:
+        out["e2e_int8_serving"]["peak_hbm_gb"] = peak
+    assert n_gen >= 3, f"expected deterministic triggers, got {n_gen}"
+    del engine, params
+    return out
 
 
 def measure_rtt_ms(n: int = 20) -> float:
@@ -322,6 +420,16 @@ def measure_rtt_ms(n: int = 20) -> float:
 
 
 def main():
+    import jax
+
+    # persistent compile cache: 7B-shape compiles through the tunnel are
+    # ~30-60s each; repeat bench runs on the same machine skip them
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     layers = 28
     try:
         params, text, cfg = build_decoder(layers)
@@ -361,9 +469,26 @@ def main():
         extra["vision_frames_s"] = round(run_vision(), 1)
     except Exception as e:
         print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-    hbm = peak_hbm_gb()
-    if hbm is not None:
-        extra["peak_hbm_gb"] = hbm
+    gc.collect()
+
+    # single-chip fully-resident int8 serving, end-to-end in THIS process
+    try:
+        extra.update(run_e2e_int8_serving(layers))
+    except Exception as e:
+        print(f"e2e int8 serving bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    peak, resident, method = hbm_probe()
+    if peak is not None:
+        extra["peak_hbm_gb"] = peak
+    else:
+        # no memory_stats on this platform: report the largest sampled
+        # resident footprint (the co-resident e2e stage is the max point)
+        samples = [resident]
+        if "e2e_int8_serving" in extra:
+            samples.append(extra["e2e_int8_serving"]["resident_hbm_gb"])
+        extra["peak_hbm_gb"] = max(samples)
+        extra["peak_hbm_method"] = "live_arrays_sampled"
 
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))

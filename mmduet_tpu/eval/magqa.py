@@ -140,6 +140,7 @@ class HFJudge:
             kv.to_legacy_cache() if hasattr(kv, "to_legacy_cache") else kv
         )
         self.prompt_input_ids = prompt.input_ids
+        self.n_prefix_fallbacks = 0
 
     def _fresh_prompt_cache(self):
         try:
@@ -168,7 +169,19 @@ class HFJudge:
         ):
             # template renders a different prefix in-context (e.g. rewrites
             # the trailing turn when it is no longer last): the cached KV
-            # cannot be reused for this pair — fall back to a full forward
+            # cannot be reused for this pair — fall back to a full forward.
+            # Counted + warned once: a template-mismatched judge silently
+            # running every pair at full cost should be visible
+            self.n_prefix_fallbacks += 1
+            if self.n_prefix_fallbacks == 1:
+                import warnings
+
+                warnings.warn(
+                    "HFJudge: chat template rewrites the cached few-shot "
+                    "prefix; falling back to full forwards (correct but "
+                    "~Nx slower). Counted in .n_prefix_fallbacks.",
+                    stacklevel=2,
+                )
             return full, False
         return full[:, n:], True
 

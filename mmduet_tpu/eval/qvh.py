@@ -67,8 +67,19 @@ def average_precision(y_true: Sequence[float], y_score: Sequence[float]) -> floa
 def mk_gt_scores(gt: dict, clip_length: float = 2.0) -> np.ndarray:
     ids = np.array(gt["relevant_clip_ids"])
     num_clips = int(gt["duration"] / clip_length)
-    if len(ids):  # tolerate annotations whose clip ids exceed duration/2
-        num_clips = max(num_clips, int(ids.max()) + 1)
+    if len(ids) and int(ids.max()) >= num_clips:
+        # the reference would IndexError here (`test/qvh/utils.py`); we
+        # grow the clip axis instead, but LOUDLY — a grown axis changes
+        # the AP denominator, so malformed gold must be visible
+        import warnings
+
+        warnings.warn(
+            f"qid={gt.get('qid')}: relevant_clip_ids up to {int(ids.max())} "
+            f"exceed duration/{clip_length}={num_clips} clips; growing the "
+            "clip axis (malformed gold annotation?)",
+            stacklevel=2,
+        )
+        num_clips = int(ids.max()) + 1
     full = np.zeros((num_clips, 3))
     full[ids] = np.array(gt["saliency_scores"])
     return full

@@ -132,9 +132,12 @@ class LiveInferEngine:
                 lora=lora, lora_scale=lora_scale,
                 compute_lm_logits=compute_lm, use_flash=use_flash,
             )
+            # both score probs stacked into ONE tiny array: the per-frame
+            # host sync then pays a single device->host round trip (on a
+            # tunneled chip a second scalar fetch costs a full extra RTT)
+            probs = jnp.stack([out.informative_prob[0], out.relevance_prob[0]])
             return (
-                out.informative_prob[0],
-                out.relevance_prob[0],
+                probs,
                 out.last_logits[0] if compute_lm else None,
                 out.kv_cache.k,
                 out.kv_cache.v,
@@ -324,7 +327,7 @@ class LiveInferEngine:
         # overwrite live tail entries if the padded chunk overhangs
         self.state.check_fits(bucket)
         embeds = pad_chunk(embeds, bucket)
-        inf, rel, logits, k, v = self._step(
+        probs, logits, k, v = self._step(
             self.params, self.lora, embeds,
             self.state.kv_cache.k, self.state.kv_cache.v,
             jnp.int32(self.state.cursor), jnp.int32(t_real),
@@ -332,7 +335,7 @@ class LiveInferEngine:
         )
         self.state.kv_cache = KVCache(k, v)
         self.state.cursor += t_real
-        return inf, rel, logits
+        return probs, logits
 
     def _needs_joiner(self) -> bool:
         return self.state.cursor == 0 or (
@@ -363,8 +366,8 @@ class LiveInferEngine:
             if joiner
             else frame
         )
-        inf, rel, _ = self._feed(chunk)
-        inf, rel = float(inf), float(rel)  # host sync: 2 scalars
+        probs, _ = self._feed(chunk)
+        inf, rel = map(float, np.asarray(probs))  # host sync: ONE transfer
         self.frame_latencies_ms.append((time.perf_counter() - t0) * 1000)
         self.frame_idx += 1
         self.num_frames_no_reply += 1

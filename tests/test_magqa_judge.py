@@ -47,6 +47,7 @@ def judge():
     kv = out.past_key_values
     j._prompt_kv_legacy = kv.to_legacy_cache() if hasattr(kv, "to_legacy_cache") else kv
     j.prompt_input_ids = prompt.input_ids
+    j.n_prefix_fallbacks = 0
     return j
 
 
@@ -163,13 +164,18 @@ class TestHTTPJudge:
         mangled[0, 0] += 1  # cached prompt no longer a render prefix
         orig = judge.prompt_input_ids
         judge.prompt_input_ids = mangled
+        judge.n_prefix_fallbacks = 0
         try:
-            ids, is_suffix = judge._fragment_ids("Q?", "g.", "p.")
+            with pytest.warns(UserWarning, match="full forwards"):
+                ids, is_suffix = judge._fragment_ids("Q?", "g.", "p.")
             assert not is_suffix
+            assert judge.n_prefix_fallbacks == 1
             # full render: starts with the system turn, exactly one copy
             text = judge.tokenizer.decode(ids[0])
             assert text.count("Here are some examples to guide you:") == 1
             score = judge.evaluate("Q?", "g.", "p.")
             assert score in (1, 2, 3, 4, 5)
+            # degradation is counted per pair, warned only once
+            assert judge.n_prefix_fallbacks == 2
         finally:
             judge.prompt_input_ids = orig
