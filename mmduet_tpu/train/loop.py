@@ -167,6 +167,13 @@ def _accumulate(samples, collator, B, A, stack_accum):
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     import jax
+
+    # $MMDUET_PLATFORM=cpu forces the backend (this env's sitecustomize
+    # overrides JAX_PLATFORMS, so the config-level knob is the only way a
+    # subprocess can opt out of the TPU — used by the sustained-training
+    # smoke test to avoid contending for the single tunneled chip)
+    if os.environ.get("MMDUET_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MMDUET_PLATFORM"])
     import jax.numpy as jnp
 
     from ..config import TrainArgs, tiny_config
@@ -274,6 +281,16 @@ def main(argv=None):
     log_f = open(log_path, "a")
     t_last = time.perf_counter()
     done = int(state.step)
+    if done:
+        # resume: fast-forward the deterministic data stream past the
+        # batches the interrupted run already consumed, so the resumed
+        # run sees the exact same data order as an uninterrupted one
+        # (HF Trainer's default resume semantics, reference train.sh via
+        # --resume_from_checkpoint)
+        print(f"resume: skipping {done} already-consumed optimizer batches")
+        for _ in range(done):
+            if next(batches, None) is None:
+                break
     for batch in batches:
         if done >= total_steps:
             break

@@ -88,7 +88,64 @@ def main(out_dir: str = "/tmp/mmduet_smoke"):
     with open(os.path.join(out_dir, "qvh_gold.jsonl"), "w") as f:
         for line in qvh_gold:
             f.write(json.dumps(line) + "\n")
+
+    write_train_fixtures(out_dir, vids)
     print(f"fixtures written to {out_dir}")
+
+
+def write_train_fixtures(out_dir: str, vids):
+    """TRAINING annos for all three dataset classes + a mixture config
+    (same shapes as the reference mixture `configs/datasets/mmduetit.json`
+    entries) — the sustained-training smoke target consumes these."""
+    # DVC train annos: {video: {group_id: [{text, time, timespan}]}}
+    dvc = {
+        v: {
+            f"g{i}": [
+                {"text": "the first step happens", "time": 2.0,
+                 "timespan": [0.0, 2.0]},
+                {"text": "the second step happens", "time": 5.0,
+                 "timespan": [2.0, 5.0]},
+            ]
+        }
+        for i, v in enumerate(vids)
+    }
+    # MAGQA train annos: [{video_uid, conversation(timed turns+timespans)}]
+    magqa = [
+        {"video_uid": v,
+         "conversation": [
+             {"role": "user", "content": f"what is happening in part {j}?",
+              "time": 1.0 + j},
+             {"role": "assistant", "content": "something moves",
+              "time": 3.0 + j, "timespan": [1.0 + j, 3.0 + j]},
+         ]}
+        for v in vids for j in range(2)
+    ]
+    # grounding train annos: [{video_uid, query, timestamps}]
+    grounding = [
+        {"video_uid": v, "query": f"the moment number {j}",
+         "timestamps": [[1.0 + j, 4.0 + j]]}
+        for v in vids for j in range(2)
+    ]
+    for name, obj in (("dvc_train.json", dvc), ("magqa_train.json", magqa),
+                      ("grounding_train.json", grounding)):
+        with open(os.path.join(out_dir, name), "w") as f:
+            json.dump(obj, f, indent=1)
+    mixture = [
+        {"dataset_cls": "DenseVideoCaptioningStreamDataset",
+         "video_root": os.path.join(out_dir, "videos"),
+         "anno_file": os.path.join(out_dir, "dvc_train.json"),
+         "metadata_path": os.path.join(out_dir, "videos_metadata.json")},
+        {"dataset_cls": "MAGQAStreamDataset",
+         "video_root": os.path.join(out_dir, "videos"),
+         "anno_file": os.path.join(out_dir, "magqa_train.json"),
+         "metadata_path": os.path.join(out_dir, "videos_metadata.json")},
+        {"dataset_cls": "GroundingStreamDataset",
+         "video_root": os.path.join(out_dir, "videos"),
+         "anno_file": os.path.join(out_dir, "grounding_train.json"),
+         "metadata_path": os.path.join(out_dir, "videos_metadata.json")},
+    ]
+    with open(os.path.join(out_dir, "train_mixture.json"), "w") as f:
+        json.dump(mixture, f, indent=1)
 
 
 if __name__ == "__main__":

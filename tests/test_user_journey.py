@@ -171,3 +171,26 @@ def test_full_pipeline(hf_dir, data_dir, tmp_path):
     ])
     results = json.load(open(tmp_path / "metrics.json"))
     assert any(r["threshold"] == "oracle" for r in results)
+
+
+def test_real_checkpoint_runbook_parity_gate(hf_dir, tmp_path):
+    """docs/REAL_CHECKPOINT.md step 2 dry-run: convert the HF dir, then
+    the parity gate must PASS on the tiny checkpoint (logits, score
+    probs, vision features vs the HF source)."""
+    import sys
+
+    from mmduet_tpu.models.convert import main as convert_main
+
+    ckpt = str(tmp_path / "ckpt")
+    convert_main(["--hf_dir", hf_dir, "--output", ckpt, "--dtype", "float32"])
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ))
+    import verify_checkpoint_parity
+
+    rc = verify_checkpoint_parity.main([
+        "--hf_dir", hf_dir, "--checkpoint", ckpt,
+        "--n_prompts", "3", "--seq_len", "24", "--atol", "0.01",
+    ])
+    assert rc == 0
