@@ -79,7 +79,7 @@ _UNICODE_NORM = {
 _PTB_SCAN = re.compile(
     r"""(?:[a-z]\.){2,}[a-z]?         # abbreviations: u.s., p.m., e.g.
       | \d+(?:[.,:]\d+)*[a-z]*(?:-[a-z0-9]+)*   # 1,000 3.5 2:30 1990s 4-year-old
-      | '?[a-z]+(?:['-][a-z0-9]+)*    # words: don't o'clock well-known 'em
+      | '?[a-z][a-z0-9]*(?:['-][a-z0-9]+)*   # words: don't o'clock mp3 'em
       | \.\.\.
       | --
       | \S                            # any other single character
@@ -148,7 +148,16 @@ class PTBTokenizerJar:
         import subprocess
         import tempfile
 
-        sentences = "\n".join(t.replace("\n", " ") for t in texts)
+        # one input LINE per caption: normalize every unicode/line
+        # separator the jar's -preserveLines would split on, and keep
+        # empty captions as empty lines (a dropped line would silently
+        # misalign every caption after it)
+        def one_line(t: str) -> str:
+            for sep in ("\r\n", "\r", "\n", " ", " ", "\x0b", "\x0c"):
+                t = t.replace(sep, " ")
+            return t
+
+        sentences = "\n".join(one_line(t) for t in texts)
         fd, tmp = tempfile.mkstemp()
         try:
             with os.fdopen(fd, "w") as f:
@@ -162,9 +171,17 @@ class PTBTokenizerJar:
         finally:
             os.remove(tmp)
         lines = out.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()  # trailing newline of the jar's last line
+        if len(lines) != len(texts):
+            raise RuntimeError(
+                f"PTBTokenizer returned {len(lines)} lines for "
+                f"{len(texts)} captions — output misaligned; refusing to "
+                "score against shifted tokenizations"
+            )
         return [
             " ".join(w for w in line.rstrip().split(" ") if w not in PUNCTUATIONS)
-            for line in lines[: len(texts)]
+            for line in lines
         ]
 
 

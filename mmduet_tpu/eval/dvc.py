@@ -203,21 +203,21 @@ def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor,
         tokenize_batch = lambda texts: [ptb_tokenize(t) for t in texts]
 
     # tokenize every caption in ONE batch call (the jar backend pays one
-    # JVM start per call, like the reference's single tokenize() pass)
-    gold_caps_raw = {str(g["image_id"]): g["pure_cap"].split(". ")
-                     for g in gold_out}
-    pred_caps_raw = {str(g["image_id"]):
-                     [p["caption"] or "" for p in pred_out.get(str(g["image_id"]), [])]
-                     for g in gold_out}
-    flat, spans = [], {}
-    for key in gold_caps_raw:
-        spans[key] = (len(flat), len(gold_caps_raw[key]), len(pred_caps_raw[key]))
-        flat.extend(gold_caps_raw[key])
-        flat.extend(pred_caps_raw[key])
+    # JVM start per call, like the reference's single tokenize() pass);
+    # keyed by gold ROW index so duplicate image_ids keep their own rows
+    gold_caps_raw = [g["pure_cap"].split(". ") for g in gold_out]
+    pred_caps_raw = [
+        [p["caption"] or "" for p in pred_out.get(str(g["image_id"]), [])]
+        for g in gold_out
+    ]
+    flat, spans = [], []
+    for gc, pc in zip(gold_caps_raw, pred_caps_raw):
+        spans.append((len(flat), len(gc), len(pc)))
+        flat.extend(gc)
+        flat.extend(pc)
     flat_tok = tokenize_batch(flat)
-    gt_caps_tok = {k: flat_tok[s : s + ng] for k, (s, ng, _) in spans.items()}
-    pred_caps_tok = {k: flat_tok[s + ng : s + ng + np_]
-                     for k, (s, ng, np_) in spans.items()}
+    gt_caps_tok = [flat_tok[s : s + ng] for s, ng, _ in spans]
+    pred_caps_tok = [flat_tok[s + ng : s + ng + np_] for s, ng, np_ in spans]
 
     precisions, recalls = [], []
     soda_scores = []
@@ -225,12 +225,12 @@ def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor,
     matched_preds = {t: {} for t in IOU_THRESHOLDS}
     para_preds, para_gts = [], []
 
-    for gold in gold_out:
+    for row, gold in enumerate(gold_out):
         key = str(gold["image_id"])
-        gt_caps = gt_caps_tok[key]
+        gt_caps = gt_caps_tok[row]
         gt_segs = np.array(gold["segments"], float)
         preds = pred_out.get(key, [])
-        pred_caps = pred_caps_tok[key]
+        pred_caps = pred_caps_tok[row]
         pred_segs = np.array([p["timestamp"] for p in preds], float) if preds else np.zeros((0, 2))
 
         prec, rec, iou_matrix = evaluate_detections(pred_segs, gt_segs)

@@ -165,10 +165,24 @@ def main(argv=None):
             for i, ex in enumerate(preds):
                 if i < args.start_idx or i >= end_idx:
                     continue
-                # resume: reuse already-judged lines (`evaluate.py:217-220`)
+                # resume: reuse already-judged lines (`evaluate.py:217-220`).
+                # The reference indexes prev output by example position,
+                # which silently shifts rows whenever a prior run SKIPPED
+                # an example (no assistant turns) or used --start_idx —
+                # guard by question_id and re-judge on mismatch instead
                 if i < len(prev_outputs):
-                    f.write(json.dumps(prev_outputs[i]) + "\n")
-                    continue
+                    prev = prev_outputs[i]
+                    if prev.get("question_id") == ex.get("question_id"):
+                        f.write(json.dumps(prev) + "\n")
+                        continue
+                    import warnings
+
+                    warnings.warn(
+                        f"prev_output_file row {i} is question_id="
+                        f"{prev.get('question_id')!r}, expected "
+                        f"{ex.get('question_id')!r} (a prior run skipped or"
+                        " sliced examples) — re-judging this example"
+                    )
                 if not args.is_online_model:
                     ex = convert_to_online_format(ex)
                 # no assistant turns at all → no output row (`evaluate.py:255-256`)

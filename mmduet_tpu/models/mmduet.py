@@ -233,6 +233,7 @@ def step_forward(
     lora_scale: float = 0.0,
     compute_lm_logits: bool = True,
     use_flash: Optional[bool] = None,
+    scan_unroll: int = 1,
 ) -> StepOutput:
     """One streaming step: write chunk into cache, read scores at the last
     real position. Equivalent of one reference `_encode_frame` /
@@ -242,7 +243,7 @@ def step_forward(
     hidden, kv_cache = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cache_len, lora=lora, lora_scale=lora_scale,
-        t_real=t_real, use_flash=use_flash,
+        t_real=t_real, use_flash=use_flash, scan_unroll=scan_unroll,
     )
     last = jax.lax.dynamic_index_in_dim(hidden, t_real - 1, axis=1)  # (B, 1, H)
     return _score_output(params, last, kv_cache, compute_lm_logits)

@@ -200,6 +200,7 @@ def qwen2_forward(
     remat: bool = False,
     t_real: Optional[jax.Array] = None,  # real tokens in chunk (streaming)
     use_flash: Optional[bool] = None,  # None = auto (TPU streaming B=1)
+    scan_unroll: int = 1,  # lax.scan unroll over layers (latency/compile-time knob)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Two modes:
 
@@ -320,7 +321,7 @@ def qwen2_forward(
         xs["k_cache"] = kv_cache.k
         xs["v_cache"] = kv_cache.v
 
-    hidden, kv_out = jax.lax.scan(layer_body, embeds, xs)
+    hidden, kv_out = jax.lax.scan(layer_body, embeds, xs, unroll=scan_unroll)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
 
     if kv_cache is not None:

@@ -96,12 +96,19 @@ def synthetic_batches(cfg, collator_seq_len, max_frames, B, A, steps, seed=0):
         }
 
 
-def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
+def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4,
+                 skip_batches: int = 0):
     """Shuffled epoch iteration → accumulated batches.
 
     Samples are fetched by a background thread pool (``num_workers``,
     reference `train.sh:13` dataloader_num_workers) — cv2 decode releases
-    the GIL, so the host overlaps video decode with the device step."""
+    the GIL, so the host overlaps video decode with the device step.
+
+    ``skip_batches``: resume fast-forward. The shuffle order and per-item
+    RNG are deterministic in (seed, epoch, index), so the first
+    ``skip_batches * B * A`` samples are skipped at the INDEX level —
+    identical data order to an uninterrupted run without re-decoding a
+    single video."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..data.collator import stack_accum
@@ -109,6 +116,7 @@ def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
     order = list(range(len(dataset)))
     rng = random.Random(seed)
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+    to_skip = [skip_batches * B * A]
 
     def samples():
         # set_epoch must not race with in-flight prefetch: each epoch's
@@ -117,8 +125,14 @@ def real_batches(dataset, collator, B, A, epochs, seed, num_workers: int = 4):
         for epoch in range(epochs):
             if hasattr(dataset, "set_epoch"):
                 dataset.set_epoch(epoch)  # vary per-item RNG across epochs
-            rng.shuffle(order)
+            rng.shuffle(order)  # always advances, even in skipped epochs
             idxs = list(order)
+            if to_skip[0] >= len(idxs):
+                to_skip[0] -= len(idxs)
+                continue
+            if to_skip[0]:
+                idxs = idxs[to_skip[0]:]
+                to_skip[0] = 0
             if pool is None:
                 for i in idxs:
                     yield dataset[i]
@@ -238,6 +252,20 @@ def main(argv=None):
         args.max_num_frames * cfg.frame_num_tokens + 1024
     )
 
+    # resolve resume BEFORE building the data stream: the checkpoint dir
+    # name (checkpoint-<step>) tells us how many optimizer batches the
+    # interrupted run consumed, so the stream can skip them at the index
+    # level (no re-decode) while keeping an identical data order
+    import re as _re
+
+    resume = args.resume_from_checkpoint
+    if resume == "auto":
+        resume = latest_checkpoint(args.output_dir)
+    resume_step = 0
+    if resume:
+        m = _re.search(r"checkpoint-(\d+)$", os.path.basename(resume.rstrip("/")))
+        resume_step = int(m.group(1)) if m else 0
+
     if args.synthetic_steps:
         total_steps = args.synthetic_steps
         batches: Iterator = synthetic_batches(
@@ -260,7 +288,8 @@ def main(argv=None):
         steps_per_epoch = len(dataset) // (B * A)
         total_steps = steps_per_epoch * args.num_epochs
         batches = real_batches(dataset, collator, B, A, args.num_epochs,
-                               args.seed, args.dataloader_num_workers)
+                               args.seed, args.dataloader_num_workers,
+                               skip_batches=resume_step)
 
     # --- optimizer & state ----------------------------------------------
     tx, sched = make_optimizer(train_args, total_steps)
@@ -268,9 +297,6 @@ def main(argv=None):
     state = init_train_state(params, lora, tx)
     # ZeRO-2: optimizer state sharded over the data axis, trainable replicated
     state = shard_train_state(state, mesh)
-    resume = args.resume_from_checkpoint
-    if resume == "auto":
-        resume = latest_checkpoint(args.output_dir)
     if resume:
         print(f"resuming from {resume}")
         state = restore_train_state(resume, state)
@@ -282,15 +308,21 @@ def main(argv=None):
     t_last = time.perf_counter()
     done = int(state.step)
     if done:
-        # resume: fast-forward the deterministic data stream past the
-        # batches the interrupted run already consumed, so the resumed
-        # run sees the exact same data order as an uninterrupted one
-        # (HF Trainer's default resume semantics, reference train.sh via
-        # --resume_from_checkpoint)
+        # resume: the data stream must fast-forward past the batches the
+        # interrupted run consumed so the resumed run sees the same data
+        # order as an uninterrupted one (HF Trainer resume semantics).
+        # Real datasets skip at the index level inside real_batches (no
+        # re-decode); synthetic batches are cheap enough to draw+discard
         print(f"resume: skipping {done} already-consumed optimizer batches")
-        for _ in range(done):
-            if next(batches, None) is None:
-                break
+        if args.synthetic_steps:
+            for _ in range(done):
+                if next(batches, None) is None:
+                    break
+        elif done != resume_step:
+            print(
+                f"WARNING: restored step {done} != checkpoint-name step "
+                f"{resume_step}; data order will not match the original run"
+            )
     for batch in batches:
         if done >= total_steps:
             break

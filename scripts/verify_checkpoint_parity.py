@@ -36,6 +36,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _to_f32(arr) -> np.ndarray:
+    """ml_dtypes bfloat16 arrays (what safe_open framework='np' returns
+    for bf16 checkpoints) are not torch-convertible — promote to f32."""
+    return np.asarray(arr).astype(np.float32)
+
+
 def _load_hf_tensor(hf_dir: str, names):
     """Fetch specific tensors from the dir's safetensors shards."""
     from safetensors import safe_open
@@ -45,7 +51,7 @@ def _load_hf_tensor(hf_dir: str, names):
         with safe_open(path, framework="np") as f:
             for k in f.keys():
                 if k in names:
-                    out[k] = f.get_tensor(k)
+                    out[k] = _to_f32(f.get_tensor(k))
     return out
 
 
@@ -57,7 +63,7 @@ def _collect_prefixed(hf_dir: str, prefix: str):
         with safe_open(path, framework="np") as f:
             for k in f.keys():
                 if k.startswith(prefix):
-                    out[k[len(prefix):]] = f.get_tensor(k)
+                    out[k[len(prefix):]] = _to_f32(f.get_tensor(k))
     return out
 
 
@@ -68,8 +74,13 @@ def main(argv=None):
     p.add_argument("--n_prompts", type=int, default=8)
     p.add_argument("--seq_len", type=int, default=64)
     p.add_argument("--atol", type=float, default=0.02,
-                   help="max-abs tolerance on probs/features; logits get "
-                        "10x this (pre-softmax scale)")
+                   help="max-abs tolerance on probs/features")
+    p.add_argument("--logits_atol", type=float, default=None,
+                   help="max-abs tolerance on next-token logits "
+                        "(default 10*atol). Run the gate on a "
+                        "--dtype float32 conversion: a bf16 conversion vs "
+                        "HF-f32 accumulates legitimate logit drift across "
+                        "28 layers that this gate cannot attribute")
     p.add_argument("--skip_vision", action="store_true")
     args = p.parse_args(argv)
 
@@ -124,7 +135,7 @@ def main(argv=None):
             lm_logits(params["lm_head"], hidden[:, -1:]), np.float32
         )[0, 0]
         check(f"prompt{i} next-token logits", ours_logits, hf_logits,
-              10 * args.atol)
+              args.logits_atol if args.logits_atol is not None else 10 * args.atol)
         agree += int(np.argmax(ours_logits) == np.argmax(hf_logits))
 
         for head in ("informative", "relevance"):

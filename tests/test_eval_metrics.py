@@ -485,3 +485,24 @@ def test_mk_gt_scores_warns_on_out_of_range_clip_ids():
     with pytest.warns(UserWarning, match="exceed duration"):
         full = mk_gt_scores(bad)
     assert full.shape == (8, 3)
+
+
+def test_ptb_alphanumeric_words_stay_whole():
+    # stanford PTB keeps letter-digit words whole (code-review r3 finding)
+    assert ptb_tokenize("plays an mp3 player") == "plays an mp3 player"
+    assert ptb_tokenize("h264 and b2b deals") == "h264 and b2b deals"
+
+
+def test_dense_captioning_duplicate_image_ids_keep_rows():
+    """Two gold rows sharing an image_id must each score their own
+    captions (the batch-tokenization refactor must not collapse them)."""
+    pred = {"v": [{"timestamp": [0.0, 2.0], "caption": "a person cuts onions"}]}
+    gold_dup = [
+        {"image_id": "v", "segments": [[0.0, 2.0]], "pure_cap": "a person cuts onions"},
+        {"image_id": "v", "segments": [[5.0, 9.0]], "pure_cap": "something totally different"},
+    ]
+    m_dup = eval_dense_captioning(pred, gold_dup)
+    m_first = eval_dense_captioning(pred, [gold_dup[0]])
+    m_second = eval_dense_captioning(pred, [gold_dup[1]])
+    # the duplicate run averages BOTH rows: strictly between the two
+    assert m_second["SODA_c"] < m_dup["SODA_c"] < m_first["SODA_c"]

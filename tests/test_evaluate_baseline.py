@@ -305,3 +305,45 @@ def test_concat_pred_list_dedup_semantics():
     out2 = judge_example(pred2, gold, judge2, concat_pred_list=True)
     assert judge2.calls == []
     assert out2["evaluator_output"] == [[1.0]]
+
+
+def test_magqa_resume_guards_against_shifted_rows(tmp_path, monkeypatch):
+    """A prev output file missing a skipped example must NOT be replayed
+    positionally (question_id mismatch -> warn + re-judge); the reference
+    replays blindly and corrupts every subsequent row."""
+    from mmduet_tpu.eval import evaluate as ev
+    from mmduet_tpu.eval import magqa as mq
+
+    monkeypatch.setattr(mq, "HFJudge", StubJudge)
+    golds = [
+        {"question_id": i,
+         "conversation": [{"role": "user", "content": "Q?"}],
+         "answer": [{"time": [0, 10], "content": "gold"}]}
+        for i in range(2)
+    ]
+    gf = str(tmp_path / "gold.json")
+    json.dump(golds, open(gf, "w"))
+    preds = [
+        {"question_id": 0, "video_duration": 20.0,
+         "model_response_list": []},  # skipped: no assistant turns
+        {"question_id": 1, "video_duration": 20.0,
+         "model_response_list": [
+             {"role": "assistant", "time": 5.0, "content": "a cat"}]},
+    ]
+    pf = str(tmp_path / "pred.jsonl")
+    _write_jsonl(pf, preds)
+    of1 = str(tmp_path / "out1.jsonl")
+    ev.main(["--func", "magqa", "--pred_file", pf, "--gold_file", gf,
+             "--output_file", of1, "--llm_pretrained", "stub"])
+    rows1 = [json.loads(l) for l in open(of1)]
+    assert len(rows1) == 1 and rows1[0]["question_id"] == 1
+
+    # resume: prev row 0 is qid 1, but example 0 is qid 0 -> must re-judge
+    of2 = str(tmp_path / "out2.jsonl")
+    with pytest.warns(UserWarning, match="re-judging"):
+        ev.main(["--func", "magqa", "--pred_file", pf, "--gold_file", gf,
+                 "--output_file", of2, "--prev_output_file", of1,
+                 "--llm_pretrained", "stub"])
+    rows2 = [json.loads(l) for l in open(of2)]
+    assert [r["question_id"] for r in rows2] == [1]
+    assert rows2 == rows1
