@@ -35,6 +35,7 @@ import numpy as np
 
 FRAME_TOKENS = 49
 BLOCK = 32  # grounding-mode serving block (engine default for score-only)
+VISION_WARMUP = 64  # e2e warmup frames (2 vision batches, 2 blocks, 1 gen)
 
 
 def _text_cfg(num_layers):
@@ -366,9 +367,26 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
         0, 255, (n_frames, cfg.frame_resolution, cfg.frame_resolution, 3),
         np.uint8,
     )
+    # warmup: compile the hot paths (block forward, joiner step, decode
+    # loop, vision) OUTSIDE the timed region — this platform's persistent
+    # compile cache produces unstable keys across processes, so first-call
+    # compiles would otherwise dominate stream_s
+    t0 = time.perf_counter()
+    engine.input_video_stream(pixels[:VISION_WARMUP])
+    engine.input_query_stream(
+        [{"role": "user", "content": "warmup?", "time": 0.0}]
+    )
+    engine.inference()
+    engine._generate_response()
+    t_warmup = time.perf_counter() - t0
+
+    engine.reset()
+    engine.set_fps(2.0)
     t0 = time.perf_counter()
     engine.input_video_stream(pixels)
-    jax.block_until_ready(engine.frame_embeds)
+    # block_until_ready does not synchronize on the axon backend — a
+    # value fetch is the only true barrier (see tests/conftest + memory)
+    float(engine.frame_embeds[-1, -1, 0])
     t_vision = time.perf_counter() - t0
 
     engine.input_query_stream(
@@ -384,6 +402,7 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     out = {
         "e2e_int8_serving": {
             "frames": int(n_frames),
+            "compile_warmup_s": round(t_warmup, 2),
             "vision_encode_s": round(t_vision, 2),
             "stream_s": round(t_stream, 2),
             "score_p50_ms_per_frame": round(float(np.percentile(lat, 50)), 2),
@@ -417,6 +436,51 @@ def measure_rtt_ms(n: int = 20) -> float:
         float(f(x)[0])
         ts.append((time.perf_counter() - t0) * 1000)
     return float(np.percentile(ts, 50))
+
+
+def run_multistream(layers: int, n_streams: int = 4, block: int = 4,
+                    n_frames: int = 64):
+    """Batched multi-stream scoring (`infer/batch_engine.py`): aggregate
+    frames/s of B concurrent sessions vs one. Small blocks are weight-
+    read-bound, so B streams share one HBM weight sweep — near-linear
+    interactive-serving scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.infer import BatchedStreamScorer
+    from mmduet_tpu.stream import CharTokenizer
+
+    params, text, cfg = build_decoder_int8(layers)
+    cfg = cfg.replace(v_placeholder_id=511)
+    tok = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    H = text.hidden_size
+    out = {}
+    for B in (1, n_streams):
+        scorer = BatchedStreamScorer(
+            params, cfg, tok, n_streams=B, frame_fps=2.0,
+            block_frames=block, kv_cache_size=n_frames * 49 + 512,
+        )
+        scorer.start_sessions(["what is happening?"] * B)
+        emb = jax.random.normal(
+            jax.random.PRNGKey(7), (B, n_frames, cfg.frame_num_tokens, H),
+            jnp.bfloat16,
+        ) * 0.02
+        scorer.input_frame_embeds(emb)
+        scorer.score_all()  # warmup/compile
+        scorer.reset()
+        scorer.start_sessions(["what is happening?"] * B)
+        scorer.input_frame_embeds(emb)
+        t0 = time.perf_counter()
+        scorer.score_all()
+        dt = time.perf_counter() - t0
+        out[B] = B * n_frames / dt
+        del scorer
+        gc.collect()
+    return {
+        f"multistream_b1_block{block}_frames_s": round(out[1], 1),
+        f"multistream_b{n_streams}_block{block}_frames_s": round(out[n_streams], 1),
+        "multistream_scaling": round(out[n_streams] / out[1], 2),
+    }
 
 
 def main():
@@ -476,6 +540,14 @@ def main():
         extra.update(run_e2e_int8_serving(layers))
     except Exception as e:
         print(f"e2e int8 serving bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
+
+    # multi-stream batched scoring (beyond-reference serving capability)
+    try:
+        extra.update(run_multistream(layers))
+    except Exception as e:
+        print(f"multistream bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     peak, resident, method = hbm_probe()

@@ -272,7 +272,11 @@ class LiveInferEngine:
         if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
             raise ValueError(f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}")
         T = video_frames.shape[0]
-        chunks = []
+        # enqueue ALL host->device pixel uploads first (device_put is
+        # async), then dispatch the encodes: the DMA of batch i+1 overlaps
+        # the vision forward of batch i instead of serializing with it —
+        # on a tunneled chip the upload is a large share of encode time
+        staged = []
         for i in range(0, T, VISION_BATCH):
             batch = video_frames[i : i + VISION_BATCH]
             n = batch.shape[0]
@@ -280,7 +284,8 @@ class LiveInferEngine:
                 batch = np.concatenate(
                     [batch, np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype)]
                 )
-            chunks.append(self._visual(self.params, jnp.asarray(batch))[:n])
+            staged.append((jax.device_put(batch), n))
+        chunks = [self._visual(self.params, b)[:n] for b, n in staged]
         self.frame_embeds = jnp.concatenate(chunks, axis=0)
         self.frame_times = [i / self.frame_fps for i in range(T)]
         self._next_frame = 0
