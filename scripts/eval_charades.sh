@@ -6,7 +6,7 @@
 #
 # Smoke mode:
 #   TINY_RANDOM=1 INPUT_DIR=... TEST_FNAME=... bash scripts/eval_charades.sh
-set -e
+set -eo pipefail
 
 output_dir=${OUTPUT_DIR:-outputs/mmduet}
 mkdir -p "${output_dir}/eval"

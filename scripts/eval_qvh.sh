@@ -5,7 +5,7 @@
 #
 # Smoke mode:
 #   TINY_RANDOM=1 INPUT_DIR=... TEST_FNAME=... GOLD_FILE=... bash scripts/eval_qvh.sh
-set -e
+set -eo pipefail
 
 output_dir=${OUTPUT_DIR:-outputs/mmduet}
 mkdir -p "${output_dir}/eval"

@@ -5,7 +5,7 @@
 #
 # Smoke mode (random tiny model + synthetic fixtures):
 #   TINY_RANDOM=1 INPUT_DIR=/tmp/fixt/videos TEST_FNAME=/tmp/fixt/val.json bash scripts/eval_youcook2.sh
-set -e
+set -eo pipefail
 
 output_dir=${OUTPUT_DIR:-outputs/mmduet}
 mkdir -p "${output_dir}/eval"
