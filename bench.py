@@ -438,6 +438,74 @@ def measure_rtt_ms(n: int = 20) -> float:
     return float(np.percentile(ts, 50))
 
 
+def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
+                        n_frames: int = 48):
+    """Continuous-batched GENERATION serving (`infer/batch_engine.py`
+    `BatchedStreamEngine`): B concurrent MAGQA-style sessions — frame
+    scoring + deterministic threshold triggers + batched greedy decode —
+    aggregate wall-clock vs one stream. Score heads zeroed (prob 0.5) +
+    sum threshold so every stream triggers every ~16 frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.config import TestArgs
+    from mmduet_tpu.infer import BatchedStreamEngine
+    from mmduet_tpu.stream import CharTokenizer
+
+    params, text, cfg = build_decoder_int8(layers)
+    params = dict(params)
+    params["informative_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
+    params["relevance_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
+    cfg = cfg.replace(v_placeholder_id=511)
+    tok = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
+    args = TestArgs(
+        stream_end_prob_threshold=None,
+        stream_end_score_sum_threshold=7.75,  # trigger every 16 frames
+        score_heads="informative_score",
+        max_new_tokens=16,
+        frame_fps=2.0,
+        max_num_frames=n_frames,
+        remove_assistant_turns=True,
+    )
+    H = text.hidden_size
+    out = {}
+    for B in (1, n_streams):
+        eng = BatchedStreamEngine(
+            params, cfg, tok, args, n_streams=B, block_frames=block,
+            kv_cache_size=n_frames * 49 + 1024,
+        )
+        emb = jax.random.normal(
+            jax.random.PRNGKey(7), (B, n_frames, cfg.frame_num_tokens, H),
+            jnp.bfloat16,
+        ) * 0.02
+        eng.input_frame_embeds(emb)
+        eng.input_query_streams(
+            [[{"role": "user", "content": "what is happening?", "time": 0.0}]] * B
+        )
+        eng.stream_all()  # warmup/compile
+        eng.reset()
+        eng.input_frame_embeds(emb)
+        eng.input_query_streams(
+            [[{"role": "user", "content": "what is happening?", "time": 0.0}]] * B
+        )
+        t0 = time.perf_counter()
+        resp = eng.stream_all()
+        dt = time.perf_counter() - t0
+        n_gen = sum(1 for r in resp for x in r if x["role"] == "assistant")
+        out[B] = (B * n_frames / dt, n_gen)
+        del eng
+        gc.collect()
+    assert out[1][1] >= 2 and out[n_streams][1] >= 2 * n_streams, (
+        f"triggers missing: {out}"
+    )
+    return {
+        f"gen_serving_b1_frames_s": round(out[1][0], 1),
+        f"gen_serving_b{n_streams}_frames_s": round(out[n_streams][0], 1),
+        "gen_serving_scaling": round(out[n_streams][0] / out[1][0], 2),
+        "gen_serving_responses_b4": out[n_streams][1],
+    }
+
+
 def run_multistream(layers: int, n_streams: int = 4, block: int = 4,
                     n_frames: int = 64):
     """Batched multi-stream scoring (`infer/batch_engine.py`): aggregate
@@ -548,6 +616,14 @@ def main():
         extra.update(run_multistream(layers))
     except Exception as e:
         print(f"multistream bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
+
+    # continuous-batched generation serving (scoring + triggered decode)
+    try:
+        extra.update(run_multistream_gen(layers))
+    except Exception as e:
+        print(f"multistream-gen bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     peak, resident, method = hbm_probe()

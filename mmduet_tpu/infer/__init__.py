@@ -1,3 +1,3 @@
-from .state import StreamState, pick_bucket, pad_chunk, DEFAULT_BUCKETS
+from .state import StreamState, ThresholdPolicy, pick_bucket, pad_chunk, DEFAULT_BUCKETS
 from .engine import LiveInferEngine
-from .batch_engine import BatchedStreamScorer
+from .batch_engine import BatchedStreamScorer, BatchedStreamEngine

@@ -10,16 +10,23 @@ its own cursor, and its own (different-length) query prefix, so scores
 are identical to B separate `LiveInferEngine` sessions (pinned by
 `tests/test_batch_engine.py`).
 
-Scope: lockstep score streaming (the grounding/QVH protocol — scores
-only, no generation). Streams shorter than the batch's longest simply
-stop consuming scores; their caches keep receiving the shared block
-shape, which is wasted-but-correct work. Generation stays per-stream on
-`LiveInferEngine` (triggers are rare and data-dependent).
+Two surfaces:
+
+- `BatchedStreamScorer` — lockstep score streaming (the grounding/QVH
+  protocol — scores only, no generation). Streams shorter than the
+  batch's longest simply stop consuming scores; their caches keep
+  receiving the shared block shape, which is wasted-but-correct work.
+- `BatchedStreamEngine` — the FULL streaming loop (continuous batching):
+  per-stream query queues, threshold policies, triggered greedy
+  generation with lane-freezing, joiners and `remove_assistant_turns`
+  rollbacks — per-stream outputs identical to B separate
+  `LiveInferEngine` sessions.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import collections
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +35,7 @@ import numpy as np
 from ..config import MMDuetConfig
 from ..models import mmduet
 from ..models.qwen2 import KVCache, embed_tokens, init_kv_cache
-from .state import pad_chunk, pick_bucket
+from .state import ThresholdPolicy, pad_chunk, pick_bucket
 
 VISION_BATCH = 32
 
@@ -178,12 +185,19 @@ class BatchedStreamScorer:
         )
         self._next = 0
 
-    def input_frame_embeds(self, embeds) -> None:
-        """(B, T, ft, H) pre-computed frame embeddings (tests/feeds)."""
+    def input_frame_embeds(self, embeds, lengths=None) -> None:
+        """(B, T, ft, H) pre-computed frame embeddings (tests/feeds).
+        ``lengths``: optional per-stream real frame counts (trailing
+        frames of shorter streams are padding)."""
         embeds = jnp.asarray(embeds, self.dtype)
         assert embeds.shape[0] == self.B
         self._frame_embeds = embeds
-        self._lengths = np.full((self.B,), embeds.shape[1])
+        if lengths is not None:
+            lengths = np.asarray(lengths)
+            assert lengths.shape == (self.B,) and lengths.max() <= embeds.shape[1]
+            self._lengths = lengths
+        else:
+            self._lengths = np.full((self.B,), embeds.shape[1])
         self._next = 0
 
     def score_all(self) -> List[List[Dict[str, float]]]:
@@ -213,3 +227,436 @@ class BatchedStreamScorer:
                     })
             self._next += n
         return out
+
+
+class BatchedStreamEngine(BatchedStreamScorer):
+    """Continuous-batched streaming serving for B concurrent sessions,
+    INCLUDING triggered generation — the full `LiveInferEngine.inference()`
+    semantics (reference `test/inference.py:276-313`) per stream, batched:
+
+    - every forward (query turns, frame scoring, fused blocks, greedy
+      decode steps) is ONE dispatch over all B streams, so the 7B weights
+      are read from HBM once per step instead of once per stream;
+    - streams keep independent caches, cursors, video clocks, query
+      queues, threshold policies, repetition-penalty token sets and
+      `remove_assistant_turns` rollbacks, so per-stream outputs are
+      identical to B separate `LiveInferEngine` runs (pinned by
+      `tests/test_batch_engine.py::TestBatchedGeneration`);
+    - generation is a single batched greedy decode: lanes that finished
+      (EOS) or never triggered are frozen — their K/V writes land beyond
+      their committed cursor (the garbage zone every slot >= cursor
+      already is), so no per-lane select over the cache is needed.
+
+    Scheduling: a round mirrors one iteration of the single-stream loop
+    for every live stream — (one due query?) then (a fused K-frame block
+    when EVERY live stream has a joiner-free, query-free run of K frames,
+    else one frame each, with per-stream joiners). Block boundaries do
+    not affect results (block scoring is bit-equal to stepping, with
+    mid-block triggers rolled back per stream), so lanes may run blocks
+    at different frame offsets once their clocks diverge.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: MMDuetConfig,
+        tokenizer,
+        args,
+        n_streams: int,
+        block_frames: int = 8,
+        system_prompt: Optional[str] = None,
+        kv_cache_size: Optional[int] = None,
+        dtype=None,
+    ):
+        super().__init__(
+            params, cfg, tokenizer,
+            n_streams=n_streams,
+            frame_fps=args.frame_fps,
+            max_num_frames=args.max_num_frames,
+            block_frames=block_frames,
+            system_prompt=system_prompt or args.system_prompt,
+            kv_cache_size=kv_cache_size,
+            dtype=dtype,
+        )
+        n_set = sum(
+            x is not None
+            for x in (
+                args.stream_end_prob_threshold,
+                args.stream_end_score_sum_threshold,
+                args.threshold_z,
+            )
+        )
+        if n_set != 1:
+            raise ValueError(
+                "exactly one of stream_end_prob_threshold, "
+                "stream_end_score_sum_threshold, threshold_z must be set"
+            )
+        self.args = args
+        self.score_heads = args.score_heads.split(",")
+        self.grounding_mode = args.grounding_mode
+
+        # pre-tokenized incremental fragments (reference inference.py:61-63)
+        self._start_ids = tokenizer.apply_chat_template(
+            [{"role": "system", "content": self.system_prompt}], tokenize=True
+        )
+        self._stream_open_ids = tokenizer.encode(
+            f"\n{tokenizer.template.bos}stream\n"
+        )
+        self._gen_prompt_ids = tokenizer.encode(
+            f"{tokenizer.template.eos}\n{tokenizer.template.bos}assistant\n"
+        )
+
+        cfg_ = self.cfg
+        V = cfg_.text.vocab_size
+        max_new = args.max_new_tokens
+        rep = args.repetition_penalty
+        eos_id = tokenizer.eos_token_id
+        dtype_ = self.dtype
+
+        def _chunk_one(params, embeds, k, v, cache_len, t_real, active):
+            """One stream's (padded) chunk -> score probs at the last real
+            token. Inactive lanes write K/V beyond their frozen cursor
+            (harmless garbage zone) and do not advance."""
+            out = mmduet.step_forward(
+                params, cfg_, embeds[None], KVCache(k, v), cache_len, t_real,
+                compute_lm_logits=False, use_flash=False,
+            )
+            probs = jnp.stack([out.informative_prob[0], out.relevance_prob[0]])
+            new_len = jnp.where(active, cache_len + t_real, cache_len)
+            return probs, out.kv_cache.k, out.kv_cache.v, new_len
+
+        self._chunk_b = jax.jit(
+            jax.vmap(_chunk_one, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+            donate_argnums=(2, 3),
+        )
+
+        def _penalized(logits, mask):  # (B,V), (B,V) bool
+            if rep is None:
+                return logits
+            pen = jnp.where(logits > 0, logits / rep, logits * rep)
+            return jnp.where(mask, pen, logits)
+
+        def _gen_batched(params, embeds, k, v, cache_len, pen_mask, active):
+            """Batched greedy decode (engine `_generate` per lane).
+
+            ``embeds`` (B, t, H) is the shared generation-prompt chunk;
+            lanes with ``active=False`` are frozen throughout. Per-lane
+            while-freezing is explicit (masked updates on the small carry
+            leaves); frozen lanes still run the forward but their K/V
+            writes land at their frozen cursor — beyond their committed
+            tokens, i.e. the garbage zone — so the big cache tensors never
+            need a per-lane select."""
+            Bn, t, _ = embeds.shape
+
+            step_p = jax.vmap(
+                lambda e, kk, vv, c, tr: mmduet.step_forward(
+                    params, cfg_, e[None], KVCache(kk, vv), c, tr,
+                    compute_lm_logits=True, use_flash=False,
+                ),
+                in_axes=(0, 0, 0, 0, None),
+            )
+            out = step_p(embeds, k, v, cache_len, jnp.int32(t))
+            logits0 = out.last_logits[:, 0]
+            cursor = jnp.where(active, cache_len + t, cache_len)
+
+            tok = jnp.argmax(_penalized(logits0, pen_mask), axis=-1).astype(jnp.int32)
+            buf = jnp.zeros((Bn, max_new), jnp.int32)
+            buf = buf.at[:, 0].set(jnp.where(active, tok, 0))
+            done = (tok == eos_id) | ~active
+            upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok)
+            pen_mask = jnp.where(
+                (active & (tok != eos_id))[:, None], upd, pen_mask
+            )
+            n = jnp.where(active, 1, 0)
+
+            def cond(s):
+                return jnp.any(~s[6]) & (s[5] < max_new)
+
+            def body(s):
+                kk, vv, cursor, last_tok, buf, i, done, n, mask = s
+                emb = embed_tokens(params["decoder"], last_tok[:, None], V).astype(dtype_)
+                o = step_p(emb, kk, vv, cursor, jnp.int32(1))
+                tok = jnp.argmax(_penalized(o.last_logits[:, 0], mask), axis=-1).astype(jnp.int32)
+                buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
+                upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
+                mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
+                n = jnp.where(done, n, i + 1)
+                cursor = jnp.where(done, cursor, cursor + 1)
+                last_tok = jnp.where(done, last_tok, tok)
+                done = done | (tok == eos_id)
+                return (o.kv_cache.k, o.kv_cache.v, cursor, last_tok,
+                        buf, i + 1, done, n, mask)
+
+            kk, vv, cursor, _, buf, _, _, n, pen_mask = jax.lax.while_loop(
+                cond, body,
+                (out.kv_cache.k, out.kv_cache.v, cursor, tok, buf,
+                 jnp.int32(1), done, n, pen_mask),
+            )
+            meta = jnp.stack([n, cursor])  # one packed fetch
+            return buf, meta, kk, vv, pen_mask
+
+        self._gen_b = jax.jit(_gen_batched, donate_argnums=(2, 3))
+        self.reset()
+
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        super().reset()
+        B = self.B
+        # authoritative HOST cursors (device calls take them as operands)
+        self._cur = np.zeros((B,), np.int64)
+        self._next_b = np.zeros((B,), np.int64)
+        self._vt = [0.0] * B
+        self._last_role = ["system"] * B
+        self._pending_ids: List[List[int]] = [[] for _ in range(B)]
+        self._queues: List[collections.deque] = [
+            collections.deque() for _ in range(B)
+        ]
+        self._pen_mask = jnp.zeros((B, self.cfg.text.vocab_size), bool)
+        if hasattr(self, "args"):
+            self._policies = [ThresholdPolicy(self.args) for _ in range(B)]
+        self.debug_data_lists: List[List[Dict[str, float]]] = [
+            [] for _ in range(B)
+        ]
+
+    def input_query_streams(self, conversations: Sequence[Sequence[dict]]) -> None:
+        """Per-stream conversations; user turns become timed queries
+        (engine `input_query_stream` per lane)."""
+        assert len(conversations) == self.B
+        for b, conv in enumerate(conversations):
+            for turn in conv or ():
+                if turn["role"] == "user":
+                    self._queues[b].append((turn["time"], turn["content"]))
+
+    # ------------------------------------------------------------------
+
+    def _check_fits(self, b: int, n: int) -> None:
+        if self._cur[b] + n > self._cache_size:
+            raise RuntimeError(
+                f"KV cache overflow on stream {b}: cursor {self._cur[b]} + "
+                f"chunk {n} > capacity {self._cache_size}. Raise kv_cache_size."
+            )
+
+    def _needs_joiner(self, b: int) -> bool:
+        return self._cur[b] == 0 or (
+            self._last_role[b] == "assistant"
+            and not self.args.remove_assistant_turns
+        )
+
+    def _frame_joiner_ids(self, b: int) -> List[int]:
+        if self._cur[b] == 0:
+            return list(self._start_ids)
+        if (
+            self._last_role[b] == "assistant"
+            and not self.args.remove_assistant_turns
+        ):
+            joiner = list(self._pending_ids[b]) + list(self._stream_open_ids)
+            self._pending_ids[b] = []
+            return joiner
+        return []
+
+    def _dispatch_chunks(self, per_stream: Dict[int, List[int]],
+                         frame_idx: Optional[Dict[int, int]] = None) -> np.ndarray:
+        """Feed per-stream token(+frame) chunks in ONE vmapped dispatch.
+
+        ``per_stream``: stream -> token ids (may be empty when the chunk is
+        just a frame). ``frame_idx``: stream -> frame to append after the
+        ids. Returns (B, 2) score probs (garbage on lanes not fed)."""
+        ft = self.cfg.frame_num_tokens
+        H = self._frame_embeds.shape[-1] if self._frame_embeds is not None \
+            else self.params["decoder"]["final_norm"].shape[-1]
+        chunks, t_real, active = [], [], []
+        for b in range(self.B):
+            if b in per_stream:
+                parts = []
+                if per_stream[b]:
+                    parts.append(self._embed_ids(per_stream[b]))
+                if frame_idx is not None and b in frame_idx:
+                    parts.append(self._frame_embeds[b, frame_idx[b]])
+                emb = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                chunks.append(emb)
+                t_real.append(emb.shape[0])
+                active.append(True)
+            else:
+                chunks.append(jnp.zeros((1, H), self.dtype))
+                t_real.append(1)
+                active.append(False)
+        bucket = pick_bucket(max(t_real))
+        for b in per_stream:
+            self._check_fits(b, bucket)
+        embeds = jnp.stack([pad_chunk(c, bucket) for c in chunks])
+        probs, self._k, self._v, _ = self._chunk_b(
+            self.params, embeds, self._k, self._v,
+            jnp.asarray(self._cur, jnp.int32),
+            jnp.asarray(t_real, jnp.int32),
+            jnp.asarray(active),
+        )
+        for b in per_stream:
+            self._cur[b] += t_real[b]
+        return np.asarray(probs)
+
+    def _generate_batch(self, lanes: Sequence[int]) -> Dict[int, str]:
+        """Batched greedy decode for the triggered lanes; returns
+        stream -> response text, applying per-lane
+        `remove_assistant_turns` cursor rollback and pending-token
+        bookkeeping (engine `_generate_response`)."""
+        gen_embeds = self._embed_ids(self._gen_prompt_ids)
+        t = gen_embeds.shape[0]
+        for b in lanes:
+            self._check_fits(b, t + self.args.max_new_tokens)
+        active = np.zeros((self.B,), bool)
+        active[list(lanes)] = True
+        pre = self._cur.copy()
+        embeds = jnp.broadcast_to(gen_embeds, (self.B, *gen_embeds.shape))
+        buf, meta, self._k, self._v, self._pen_mask = self._gen_b(
+            self.params, embeds, self._k, self._v,
+            jnp.asarray(self._cur, jnp.int32), self._pen_mask,
+            jnp.asarray(active),
+        )
+        buf = np.asarray(buf)
+        meta = np.asarray(meta)  # [n; cursor] packed: one fetch
+        out: Dict[int, str] = {}
+        for b in lanes:
+            n, cursor = int(meta[0, b]), int(meta[1, b])
+            token_ids = buf[b, :n]
+            if self.args.remove_assistant_turns:
+                self._cur[b] = pre[b]  # rewind: keep pre-response context
+                self._pending_ids[b] = []
+            else:
+                self._cur[b] = cursor
+                self._pending_ids[b] = [int(token_ids[-1])] if n else []
+            out[b] = self.tokenizer.decode(token_ids, skip_special_tokens=True)
+            self._last_role[b] = "assistant"
+        return out
+
+    # ------------------------------------------------------------------
+
+    def stream_all(self) -> List[List[Dict[str, Any]]]:
+        """Stream every session to completion; per-stream time-sorted
+        response lists in the reference JSONL schema (engine
+        `inference()` per lane). Per-frame scores land in
+        ``self.debug_data_lists``."""
+        assert self._frame_embeds is not None, "input video streams first"
+        B, K = self.B, self.block_frames
+        ft = self.cfg.frame_num_tokens
+        interval = 1.0 / self.frame_fps
+        responses: List[List[Dict[str, Any]]] = [
+            [{"time": t, "content": q, "role": "user"} for t, q in self._queues[b]]
+            for b in range(B)
+        ]
+
+        def remaining(b):
+            return int(self._lengths[b]) - int(self._next_b[b])
+
+        def budget(b):
+            n = min(K, remaining(b))
+            if self._queues[b]:
+                q_time = self._queues[b][0][0]
+                free = int(np.ceil((q_time - self._vt[b]) / interval - 1e-9))
+                n = min(n, max(free, 0))
+            return n
+
+        while True:
+            live = [b for b in range(B) if remaining(b) > 0]
+            if not live:
+                break
+
+            # (1) one due query per live stream (engine loop head)
+            due = {
+                b: self._queues[b][0]
+                for b in live
+                if self._queues[b] and self._vt[b] >= self._queues[b][0][0]
+            }
+            if due:
+                ids = {}
+                for b, (_, query) in due.items():
+                    self._queues[b].popleft()
+                    ids[b] = self.tokenizer.apply_chat_template(
+                        [{"role": "user", "content": query}],
+                        tokenize=True,
+                        add_stream_query_prompt=self._last_role[b] == "stream",
+                        add_stream_prompt=True,
+                    )
+                self._dispatch_chunks(ids)
+                for b in due:
+                    self._last_role[b] = "user"
+
+            # (2) fused block when EVERY live stream has a clean K-run
+            use_block = (
+                K >= 2
+                and all(budget(b) == K for b in live)
+                and not any(self._needs_joiner(b) for b in live)
+            )
+            if use_block:
+                frames = jnp.stack([
+                    self._frame_embeds[b, int(self._next_b[b]):int(self._next_b[b]) + K]
+                    if b in live else
+                    jnp.zeros((K, ft, self._frame_embeds.shape[-1]), self.dtype)
+                    for b in range(B)
+                ])
+                for b in live:
+                    self._check_fits(b, K * ft)
+                inf, rel, self._k, self._v, _ = self._block_b(
+                    self.params, frames, self._k, self._v,
+                    jnp.asarray(self._cur, jnp.int32),
+                )
+                inf = np.asarray(inf)
+                rel = np.asarray(rel)
+                for b in live:
+                    self._cur[b] += K * ft
+                scores_of = {
+                    b: [
+                        {"informative_score": float(inf[b, j]),
+                         "relevance_score": float(rel[b, j])}
+                        for j in range(K)
+                    ]
+                    for b in live
+                }
+                frames_fed = {b: K for b in live}
+            else:
+                ids, fidx = {}, {}
+                for b in live:
+                    ids[b] = self._frame_joiner_ids(b)
+                    fidx[b] = int(self._next_b[b])
+                probs = self._dispatch_chunks(ids, fidx)
+                scores_of = {
+                    b: [{"informative_score": float(probs[b, 0]),
+                         "relevance_score": float(probs[b, 1])}]
+                    for b in live
+                }
+                frames_fed = {b: 1 for b in live}
+
+            # (3) per-stream host policy + rollback (engine loop body)
+            to_gen = []
+            for b in live:
+                self._next_b[b] += frames_fed[b]
+                self._last_role[b] = "stream"
+                for i, scores in enumerate(scores_of[b]):
+                    self.debug_data_lists[b].append(
+                        dict(time=self._vt[b], **scores)
+                    )
+                    stream_end_score = sum(
+                        v for k_, v in scores.items() if k_ in self.score_heads
+                    )
+                    need = self._policies[b].triggered(stream_end_score)
+                    if need and not self.grounding_mode:
+                        # roll back not-yet-evaluated block frames
+                        k_back = frames_fed[b] - 1 - i
+                        if k_back > 0:
+                            self._cur[b] -= k_back * ft
+                            self._next_b[b] -= k_back
+                        to_gen.append(b)
+                        break
+                    self._vt[b] += interval
+
+            # (4) batched generation for every triggered lane
+            if to_gen:
+                texts = self._generate_batch(to_gen)
+                for b in to_gen:
+                    responses[b].append(
+                        {"time": self._vt[b], "content": texts[b],
+                         "role": "assistant"}
+                    )
+                    self._vt[b] += interval
+
+        return [sorted(r, key=lambda x: x["time"]) for r in responses]

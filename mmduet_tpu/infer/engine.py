@@ -40,7 +40,13 @@ import numpy as np
 from ..config import MMDuetConfig, TestArgs
 from ..models import mmduet
 from ..models.qwen2 import KVCache, embed_tokens, init_kv_cache
-from .state import DEFAULT_BUCKETS, StreamState, pad_chunk, pick_bucket
+from .state import (
+    DEFAULT_BUCKETS,
+    StreamState,
+    ThresholdPolicy,
+    pad_chunk,
+    pick_bucket,
+)
 
 VISION_BATCH = 32
 
@@ -254,8 +260,7 @@ class LiveInferEngine:
         self.debug_data_list: List[Dict[str, Any]] = []
         self.frame_latencies_ms: List[float] = []
         self.num_frames_no_reply = 0
-        self.stream_end_prob_list: List[float] = []
-        self.stream_end_score_sum = 0.0
+        self._policy = ThresholdPolicy(self.args)
         self._pen_mask = jnp.zeros((self.cfg.text.vocab_size,), bool)
 
     # ------------------------------------------------------------------
@@ -461,41 +466,16 @@ class LiveInferEngine:
     # ------------------------------------------------------------------
 
     def _threshold_triggered(self, stream_end_score: float) -> bool:
-        a = self.args
-        if a.threshold_z is not None:
-            # adaptive: mean + z*std of the rolling window (computed BEFORE
-            # appending the current score — reference inference.py:144-156)
-            if len(self.stream_end_prob_list) < (a.first_n_frames_no_generate or 0):
-                thr = float("inf")
-            else:
-                lst = self.stream_end_prob_list
-                thr = (
-                    (np.mean(lst) + a.threshold_z * np.std(lst))
-                    if lst
-                    else float("inf")
-                )
-            self._append_score(stream_end_score)
-            return stream_end_score > thr
-        self._append_score(stream_end_score)
-        self.stream_end_score_sum += stream_end_score
-        if (
-            a.stream_end_score_sum_threshold is not None
-            and self.stream_end_score_sum > a.stream_end_score_sum_threshold
-        ):
-            self.stream_end_score_sum = 0.0
-            return True
-        if (
-            a.stream_end_prob_threshold is not None
-            and stream_end_score > a.stream_end_prob_threshold
-        ):
-            return True
-        return False
+        return self._policy.triggered(stream_end_score)
 
-    def _append_score(self, s: float) -> None:
-        self.stream_end_prob_list.append(s)
-        rl = self.args.running_list_length
-        if isinstance(rl, int) and rl > 0:
-            self.stream_end_prob_list = self.stream_end_prob_list[-rl:]
+    # back-compat views over the shared ThresholdPolicy state
+    @property
+    def stream_end_prob_list(self) -> List[float]:
+        return self._policy.prob_list
+
+    @property
+    def stream_end_score_sum(self) -> float:
+        return self._policy.score_sum
 
     def _block_budget(self) -> int:
         """How many frames can run in one block before the next query is due

@@ -44,6 +44,63 @@ def pad_chunk(embeds: jnp.ndarray, bucket: int) -> jnp.ndarray:
     )
 
 
+class ThresholdPolicy:
+    """Per-stream response-trigger policy (reference `test/inference.py:
+    287-299` sum-reset / single-frame modes plus the z-score adaptive mode
+    of `_call_for_streaming`, `inference.py:144-156`). Extracted so the
+    single-stream engine and the batched engine share ONE implementation —
+    each stream owns one instance; trigger decisions are tiny host-side
+    scalar work.
+    """
+
+    def __init__(self, args):
+        self.args = args
+        self.reset()
+
+    def reset(self) -> None:
+        self.prob_list: List[float] = []
+        self.score_sum: float = 0.0
+
+    def _append(self, s: float) -> None:
+        self.prob_list.append(s)
+        rl = self.args.running_list_length
+        if isinstance(rl, int) and rl > 0:
+            self.prob_list = self.prob_list[-rl:]
+
+    def triggered(self, stream_end_score: float) -> bool:
+        import numpy as np
+
+        a = self.args
+        if a.threshold_z is not None:
+            # adaptive: mean + z*std of the rolling window (computed BEFORE
+            # appending the current score — reference inference.py:144-156)
+            if len(self.prob_list) < (a.first_n_frames_no_generate or 0):
+                thr = float("inf")
+            else:
+                lst = self.prob_list
+                thr = (
+                    (np.mean(lst) + a.threshold_z * np.std(lst))
+                    if lst
+                    else float("inf")
+                )
+            self._append(stream_end_score)
+            return stream_end_score > thr
+        self._append(stream_end_score)
+        self.score_sum += stream_end_score
+        if (
+            a.stream_end_score_sum_threshold is not None
+            and self.score_sum > a.stream_end_score_sum_threshold
+        ):
+            self.score_sum = 0.0
+            return True
+        if (
+            a.stream_end_prob_threshold is not None
+            and stream_end_score > a.stream_end_prob_threshold
+        ):
+            return True
+        return False
+
+
 @dataclass
 class StreamState:
     """Host-side handle on the device stream: cache + cursor."""

@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 
 from mmduet_tpu.config import TestArgs as InferArgs, tiny_config
-from mmduet_tpu.infer import BatchedStreamScorer, LiveInferEngine
+from mmduet_tpu.infer import (
+    BatchedStreamEngine,
+    BatchedStreamScorer,
+    LiveInferEngine,
+)
 from mmduet_tpu.models import init_mmduet_params
 from mmduet_tpu.stream import CharTokenizer
 
@@ -80,3 +84,96 @@ class TestBatchParity:
             np.testing.assert_allclose(
                 [x["informative_score"] for x in a],
                 [x["informative_score"] for x in b], atol=1e-6)
+
+
+def single_engine_full(frame_embeds, conversation, remove_turns, thresh_kw):
+    eng = LiveInferEngine(
+        PARAMS, CFG, TOK,
+        InferArgs(system_prompt="sys", frame_fps=2.0,
+                  remove_assistant_turns=remove_turns,
+                  max_new_tokens=8, repetition_penalty=1.05,
+                  max_num_frames=16, **thresh_kw),
+        kv_cache_size=1024, block_frames=4,
+    )
+    eng.input_frame_embeds(frame_embeds)
+    if conversation:
+        eng.input_query_stream(conversation)
+    return eng.inference(), eng.debug_data_list
+
+
+class TestBatchedGeneration:
+    """`BatchedStreamEngine` == B separate `LiveInferEngine` sessions,
+    including triggered generation, rollbacks, joiners and queries."""
+
+    def _run(self, remove_turns, thresh_kw, seed=3):
+        import jax.numpy as jnp
+
+        r = np.random.RandomState(seed)
+        H = CFG.text.hidden_size
+        ft = CFG.frame_num_tokens
+        lengths = (9, 6, 8)
+        convs = [
+            [{"role": "user", "content": "what is happening?", "time": 0.0}],
+            [{"role": "user", "content": "a much longer question about the video", "time": 1.5}],
+            [],
+        ]
+        embeds = [
+            jnp.asarray(r.randn(n, ft, H) * 0.05, jnp.float32)
+            for n in lengths
+        ]
+
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=remove_turns,
+                         max_new_tokens=8, repetition_penalty=1.05,
+                         max_num_frames=16, **thresh_kw)
+        be = BatchedStreamEngine(
+            PARAMS, CFG, TOK, args, n_streams=3,
+            block_frames=4, kv_cache_size=1024,
+        )
+        T = max(lengths)
+        padded = jnp.stack([
+            jnp.concatenate([e, jnp.zeros((T - e.shape[0], ft, H), e.dtype)])
+            for e in embeds
+        ])
+        be.input_frame_embeds(padded, lengths=np.array(lengths))
+        be.input_query_streams(convs)
+        got_responses = be.stream_all()
+
+        # guard against a vacuous pass: the scenario must actually trigger
+        n_assistant = sum(
+            1 for resp in got_responses for r_ in resp
+            if r_["role"] == "assistant"
+        )
+        assert n_assistant >= 2, f"too few triggers ({n_assistant}) to test"
+
+        for b in range(3):
+            want_resp, want_debug = single_engine_full(
+                embeds[b], convs[b], remove_turns, thresh_kw
+            )
+            got_debug = be.debug_data_lists[b]
+            assert len(got_debug) == len(want_debug), (
+                f"stream {b}: {len(got_debug)} vs {len(want_debug)} rows"
+            )
+            for g, w in zip(got_debug, want_debug):
+                assert g["time"] == pytest.approx(w["time"])
+                np.testing.assert_allclose(
+                    g["informative_score"], w["informative_score"],
+                    atol=3e-5, err_msg=f"stream {b}")
+            assert len(got_responses[b]) == len(want_resp), (
+                f"stream {b}: {got_responses[b]} vs {want_resp}"
+            )
+            for g, w in zip(got_responses[b], want_resp):
+                assert g["role"] == w["role"]
+                assert g["time"] == pytest.approx(w["time"])
+                assert g["content"] == w["content"], f"stream {b}"
+
+    def test_generation_parity_remove_turns(self):
+        # prob threshold low enough that several triggers fire
+        self._run(True, {"stream_end_prob_threshold": 0.5})
+
+    def test_generation_parity_keep_turns(self):
+        # kept assistant turns exercise joiners + pending-token re-feed
+        self._run(False, {"stream_end_prob_threshold": 0.5})
+
+    def test_generation_parity_sum_threshold(self):
+        self._run(True, {"stream_end_score_sum_threshold": 1.5}, seed=5)
