@@ -76,6 +76,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="false = offline whole-video baseline "
                         "(reference test/inference.py:382-423)")
     p.add_argument("--no_prefetch", action="store_true")
+    p.add_argument("--batch_streams", type=int, default=1,
+                   help=">1 = continuous-batched serving: stream this many "
+                        "samples concurrently through BatchedStreamEngine "
+                        "(one weight sweep per step serves every stream; "
+                        "identical per-sample outputs). Samples are "
+                        "grouped by fps; requires a merged checkpoint "
+                        "(no runtime LoRA) and --mesh_model 1")
     p.add_argument("--mesh_model", type=int, default=1,
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
@@ -87,11 +94,11 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def build_engine(args):
+def _load_model(args):
+    """(cfg, params, lora, tokenizer) from --tiny_random / --checkpoint."""
     import jax
 
-    from ..config import TestArgs, tiny_config
-    from ..infer import LiveInferEngine
+    from ..config import tiny_config
     from ..models import init_mmduet_params
     from ..models.io import load_checkpoint
     from ..stream import CharTokenizer, HFTokenizerAdapter
@@ -118,8 +125,13 @@ def build_engine(args):
         )
     else:
         raise SystemExit("one of --checkpoint or --tiny_random is required")
+    return cfg, params, lora, tokenizer
 
-    test_args = TestArgs(
+
+def _test_args(args, cfg):
+    from ..config import TestArgs
+
+    return TestArgs(
         system_prompt=args.system_prompt,
         frame_fps=args.frame_fps,
         frame_resolution=args.frame_resolution or cfg.frame_resolution,
@@ -135,6 +147,13 @@ def build_engine(args):
         repetition_penalty=args.repetition_penalty,
         max_new_tokens=args.max_new_tokens,
     )
+
+
+def build_engine(args):
+    from ..infer import LiveInferEngine
+
+    cfg, params, lora, tokenizer = _load_model(args)
+    test_args = _test_args(args, cfg)
     params, mesh = _maybe_shard_tp(params, args.mesh_model)
     engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh)
     return engine
@@ -191,6 +210,8 @@ def _make_dataset(args, resolution: int):
 def _main_inner(args) -> None:
     if not args.is_online_model:
         return _run_offline_baseline(args)
+    if args.batch_streams > 1:
+        return _run_batched(args)
     engine = build_engine(args)
     dataset = _make_dataset(args, engine.cfg.frame_resolution)
 
@@ -227,35 +248,97 @@ def _main_inner(args) -> None:
     print(f"done: {n_done} samples in {dt:.1f}s -> {args.output_fname}")
 
 
+def _run_batched(args) -> None:
+    """Continuous-batched serving: group samples by fps and stream each
+    group concurrently through `BatchedStreamEngine` — per-sample JSONL
+    lines identical to the sequential path (pinned by
+    `tests/test_batch_engine.py::test_cli_batched_matches_sequential`),
+    with the ``latency`` block reporting the group-aggregate per-frame
+    wall time (individual frame latencies are not observable when B
+    streams share one dispatch)."""
+    from ..infer import BatchedStreamEngine
+
+    cfg, params, lora, tokenizer = _load_model(args)
+    if lora is not None:
+        raise SystemExit(
+            "--batch_streams needs a merged checkpoint (runtime LoRA is "
+            "single-stream only); re-convert with --merge"
+        )
+    if args.mesh_model > 1:
+        raise SystemExit("--batch_streams and --mesh_model are exclusive")
+    test_args = _test_args(args, cfg)
+    B = args.batch_streams
+    engine = BatchedStreamEngine(
+        params, cfg, tokenizer, test_args, n_streams=B,
+    )
+    dataset = _make_dataset(args, cfg.frame_resolution)
+
+    n_done = 0
+    t_start = time.perf_counter()
+    samples = dataset if args.no_prefetch else dataset.prefetch()
+
+    def flush_group(group, f_out):
+        nonlocal n_done
+        pad = B - len(group)
+        videos = [s.frames for s in group]
+        convs = [s.conversation for s in group]
+        if pad:  # idle lanes: zero-length videos never go live
+            shape = (0, *videos[0].shape[1:])
+            videos += [np.zeros(shape, np.uint8)] * pad
+            convs += [[]] * pad
+        engine.reset()
+        engine.frame_fps = group[0].fps
+        t0 = time.perf_counter()
+        engine.input_video_streams(videos)
+        engine.input_query_streams(convs)
+        responses = engine.stream_all()
+        dt_ms = (time.perf_counter() - t0) * 1000
+        n_frames = sum(len(s.frames) for s in group)
+        per_frame = round(dt_ms / max(n_frames, 1), 2)
+        for b, s in enumerate(group):
+            res = {
+                "question_id": s.question_id,
+                "model_response_list": responses[b],
+                "video_duration": s.video_duration,
+                "debug_data": round_floats(engine.debug_data_lists[b], 3),
+                "latency": {
+                    "p50_ms": per_frame,
+                    "p90_ms": per_frame,
+                    "frames": len(engine.debug_data_lists[b]),
+                    "aggregate": True,
+                },
+            }
+            f_out.write(json.dumps(res) + "\n")
+            n_done += 1
+        f_out.flush()
+
+    # group by fps: the engine's video clock is shared per group
+    groups: dict = {}
+    with open(args.output_fname, "w") as f_out:
+        for sample in samples:
+            if sample.frames is None:
+                print(f"skipping {sample.question_id}: {sample.error}",
+                      file=sys.stderr)
+                continue
+            groups.setdefault(sample.fps, []).append(sample)
+            if len(groups[sample.fps]) == B:
+                flush_group(groups.pop(sample.fps), f_out)
+        for group in groups.values():
+            if group:
+                flush_group(group, f_out)
+    dt = time.perf_counter() - t_start
+    print(f"done (batched x{B}): {n_done} samples in {dt:.1f}s "
+          f"-> {args.output_fname}")
+
+
 def _run_offline_baseline(args) -> None:
     """Whole-video non-streaming baseline (reference
     `test/inference.py:382-423`): one greedy answer per sample; output
     schema {question_id, model_response, question, video_duration}."""
-    import jax
-
-    from ..config import TestArgs, tiny_config
-    from ..models import init_mmduet_params
-    from ..models.io import load_checkpoint
-    from ..stream import CharTokenizer, HFTokenizerAdapter
+    from ..config import TestArgs
     from .offline_baseline import OfflineBaselineRunner
 
-    lora = None
-    if args.tiny_random:
-        cfg = tiny_config().replace(v_placeholder_id=511, eos_token_id=257)
-        params = init_mmduet_params(jax.random.PRNGKey(0), cfg)
-        tokenizer = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
-    elif args.checkpoint:
-        cfg, params, lora = load_checkpoint(args.checkpoint)
-        tokenizer = HFTokenizerAdapter.from_pretrained(
-            args.checkpoint, frame_num_tokens=cfg.frame_num_tokens,
-            v_placeholder=cfg.v_placeholder,
-        )
-        cfg = cfg.replace(
-            v_placeholder_id=tokenizer.v_placeholder_id,
-            eos_token_id=tokenizer.eos_token_id,
-        )
-    else:
-        raise SystemExit("one of --checkpoint or --tiny_random is required")
+    cfg, params, lora, tokenizer = _load_model(args)
 
     test_args = TestArgs(
         frame_fps=args.frame_fps,

@@ -177,3 +177,61 @@ class TestBatchedGeneration:
 
     def test_generation_parity_sum_threshold(self):
         self._run(True, {"stream_end_score_sum_threshold": 1.5}, seed=5)
+
+
+def test_cli_batched_matches_sequential(tmp_path):
+    """`--batch_streams 2` writes per-sample JSONL lines equal to the
+    sequential driver's (scores and generated responses), incl. an
+    odd-size final group served with an idle pad lane."""
+    import cv2
+    import json
+
+    from mmduet_tpu.eval.inference import main as infer_main
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    r = np.random.RandomState(0)
+    anno = []
+    for i, name in enumerate(("a.mp4", "b.mp4", "c.mp4")):
+        w = cv2.VideoWriter(str(vids / name), cv2.VideoWriter_fourcc(*"mp4v"),
+                            10, (36, 28))
+        for _ in range(30 + 10 * i):  # 3-5 s at 10 fps
+            w.write(r.randint(0, 255, (28, 36, 3), np.uint8))
+        w.release()
+        anno.append({
+            "question_id": f"q{i}", "video": name,
+            "conversation": [{"role": "user", "content": f"query {i}?",
+                              "time": 0}],
+        })
+    test_f = tmp_path / "eval.json"
+    test_f.write_text(json.dumps(anno))
+
+    common = [
+        "--tiny_random", "--no_prefetch",
+        "--input_dir", str(vids), "--test_fname", str(test_f),
+        "--frame_fps", "1", "--max_num_frames", "6",
+        "--stream_end_prob_threshold", "0.55",
+        "--max_new_tokens", "6", "--repetition_penalty", "1.05",
+        "--remove_assistant_turns", "true",
+    ]
+    seq, bat = str(tmp_path / "seq.jsonl"), str(tmp_path / "bat.jsonl")
+    infer_main(common + ["--output_fname", seq])
+    infer_main(common + ["--output_fname", bat, "--batch_streams", "2"])
+
+    seq_rows = {json.loads(l)["question_id"]: json.loads(l) for l in open(seq)}
+    bat_rows = {json.loads(l)["question_id"]: json.loads(l) for l in open(bat)}
+    assert set(seq_rows) == set(bat_rows) == {"q0", "q1", "q2"}
+    n_asst = 0
+    for q in seq_rows:
+        s, b = seq_rows[q], bat_rows[q]
+        assert b["video_duration"] == s["video_duration"]
+        assert len(b["debug_data"]) == len(s["debug_data"])
+        for ds, db in zip(s["debug_data"], b["debug_data"]):
+            assert ds["time"] == db["time"]
+            assert abs(ds["informative_score"] - db["informative_score"]) <= 1e-3
+            assert abs(ds["relevance_score"] - db["relevance_score"]) <= 1e-3
+        assert b["model_response_list"] == s["model_response_list"], q
+        n_asst += sum(1 for x in s["model_response_list"]
+                      if x["role"] == "assistant")
+        assert b["latency"].get("aggregate") is True
+    assert n_asst >= 1, "scenario never triggered generation"
