@@ -502,7 +502,7 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
         f"gen_serving_b1_frames_s": round(out[1][0], 1),
         f"gen_serving_b{n_streams}_frames_s": round(out[n_streams][0], 1),
         "gen_serving_scaling": round(out[n_streams][0] / out[1][0], 2),
-        "gen_serving_responses_b4": out[n_streams][1],
+        f"gen_serving_responses_b{n_streams}": out[n_streams][1],
     }
 
 

@@ -312,20 +312,34 @@ def _run_batched(args) -> None:
             n_done += 1
         f_out.flush()
 
-    # group by fps: the engine's video clock is shared per group
-    groups: dict = {}
+    # group by fps (the engine's video clock is shared per group), but
+    # hold at most ONE group of decoded videos in host memory: an fps
+    # change flushes the current (possibly partial) group rather than
+    # accumulating per-fps buckets — with auto fps every sample has a
+    # unique rate and unbounded buckets would retain every decoded video
+    if args.frame_fps <= 0:
+        print(
+            "warning: --batch_streams with auto fps (--frame_fps<=0) "
+            "degrades to one-sample groups with idle pad lanes; use a "
+            "fixed fps for real batching",
+            file=sys.stderr,
+        )
+    group: list = []
     with open(args.output_fname, "w") as f_out:
         for sample in samples:
             if sample.frames is None:
                 print(f"skipping {sample.question_id}: {sample.error}",
                       file=sys.stderr)
                 continue
-            groups.setdefault(sample.fps, []).append(sample)
-            if len(groups[sample.fps]) == B:
-                flush_group(groups.pop(sample.fps), f_out)
-        for group in groups.values():
-            if group:
+            if group and sample.fps != group[0].fps:
                 flush_group(group, f_out)
+                group = []
+            group.append(sample)
+            if len(group) == B:
+                flush_group(group, f_out)
+                group = []
+        if group:
+            flush_group(group, f_out)
     dt = time.perf_counter() - t_start
     print(f"done (batched x{B}): {n_done} samples in {dt:.1f}s "
           f"-> {args.output_fname}")

@@ -35,7 +35,14 @@ import numpy as np
 from ..config import MMDuetConfig
 from ..models import mmduet
 from ..models.qwen2 import KVCache, embed_tokens, init_kv_cache
-from .state import ThresholdPolicy, pad_chunk, pick_bucket
+from .state import (
+    ThresholdPolicy,
+    build_prompt_fragments,
+    frame_joiner_ids,
+    pad_chunk,
+    pick_bucket,
+    validate_threshold_args,
+)
 
 VISION_BATCH = 32
 
@@ -278,32 +285,14 @@ class BatchedStreamEngine(BatchedStreamScorer):
             kv_cache_size=kv_cache_size,
             dtype=dtype,
         )
-        n_set = sum(
-            x is not None
-            for x in (
-                args.stream_end_prob_threshold,
-                args.stream_end_score_sum_threshold,
-                args.threshold_z,
-            )
-        )
-        if n_set != 1:
-            raise ValueError(
-                "exactly one of stream_end_prob_threshold, "
-                "stream_end_score_sum_threshold, threshold_z must be set"
-            )
+        validate_threshold_args(args)
         self.args = args
         self.score_heads = args.score_heads.split(",")
         self.grounding_mode = args.grounding_mode
 
         # pre-tokenized incremental fragments (reference inference.py:61-63)
-        self._start_ids = tokenizer.apply_chat_template(
-            [{"role": "system", "content": self.system_prompt}], tokenize=True
-        )
-        self._stream_open_ids = tokenizer.encode(
-            f"\n{tokenizer.template.bos}stream\n"
-        )
-        self._gen_prompt_ids = tokenizer.encode(
-            f"{tokenizer.template.eos}\n{tokenizer.template.bos}assistant\n"
+        self._start_ids, self._stream_open_ids, self._gen_prompt_ids = (
+            build_prompt_fragments(tokenizer, self.system_prompt)
         )
 
         cfg_ = self.cfg
@@ -437,6 +426,26 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 f"chunk {n} > capacity {self._cache_size}. Raise kv_cache_size."
             )
 
+    def _guard_frozen_writes(self, width: int, fed) -> None:
+        """Every batched dispatch writes ``width`` K/V slots into EVERY
+        lane at its cursor — frozen lanes included. A frozen lane within
+        ``width`` of capacity would have the `dynamic_update_slice` start
+        clamped backward, silently overwriting its committed slots (the
+        hazard `engine.py:_feed` documents for the single-stream path).
+        Finished streams are exempt: their caches are never read again."""
+        for b in range(self.B):
+            if b in fed:
+                continue  # fed lanes carry their own (>=) _check_fits
+            if self._lengths is not None and self._next_b[b] >= self._lengths[b]:
+                continue
+            if self._cur[b] + width > self._cache_size:
+                raise RuntimeError(
+                    f"KV cache overflow on frozen stream {b}: cursor "
+                    f"{self._cur[b]} + dispatch width {width} > capacity "
+                    f"{self._cache_size}; a clamped write would corrupt its "
+                    "committed cache. Raise kv_cache_size."
+                )
+
     def _needs_joiner(self, b: int) -> bool:
         return self._cur[b] == 0 or (
             self._last_role[b] == "assistant"
@@ -444,16 +453,14 @@ class BatchedStreamEngine(BatchedStreamScorer):
         )
 
     def _frame_joiner_ids(self, b: int) -> List[int]:
-        if self._cur[b] == 0:
-            return list(self._start_ids)
-        if (
-            self._last_role[b] == "assistant"
-            and not self.args.remove_assistant_turns
-        ):
-            joiner = list(self._pending_ids[b]) + list(self._stream_open_ids)
+        ids = frame_joiner_ids(
+            int(self._cur[b]), self._last_role[b], self._pending_ids[b],
+            self.args.remove_assistant_turns,
+            self._start_ids, self._stream_open_ids,
+        )
+        if self._cur[b] != 0 and ids:
             self._pending_ids[b] = []
-            return joiner
-        return []
+        return ids
 
     def _dispatch_chunks(self, per_stream: Dict[int, List[int]],
                          frame_idx: Optional[Dict[int, int]] = None) -> np.ndarray:
@@ -484,6 +491,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         bucket = pick_bucket(max(t_real))
         for b in per_stream:
             self._check_fits(b, bucket)
+        self._guard_frozen_writes(bucket, per_stream)
         embeds = jnp.stack([pad_chunk(c, bucket) for c in chunks])
         probs, self._k, self._v, _ = self._chunk_b(
             self.params, embeds, self._k, self._v,
@@ -504,6 +512,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         t = gen_embeds.shape[0]
         for b in lanes:
             self._check_fits(b, t + self.args.max_new_tokens)
+        self._guard_frozen_writes(t, set(lanes))
         active = np.zeros((self.B,), bool)
         active[list(lanes)] = True
         pre = self._cur.copy()

@@ -44,8 +44,11 @@ from .state import (
     DEFAULT_BUCKETS,
     StreamState,
     ThresholdPolicy,
+    build_prompt_fragments,
+    frame_joiner_ids,
     pad_chunk,
     pick_bucket,
+    validate_threshold_args,
 )
 
 VISION_BATCH = 32
@@ -90,34 +93,14 @@ class LiveInferEngine:
         # weight leaves in the tree)
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
 
-        n_set = sum(
-            x is not None
-            for x in (
-                args.stream_end_prob_threshold,
-                args.stream_end_score_sum_threshold,
-                args.threshold_z,
-            )
-        )
-        if n_set != 1:
-            raise ValueError(
-                "exactly one of stream_end_prob_threshold, "
-                "stream_end_score_sum_threshold, threshold_z must be set "
-                f"(got prob={args.stream_end_prob_threshold}, "
-                f"sum={args.stream_end_score_sum_threshold}, z={args.threshold_z})"
-            )
+        validate_threshold_args(args)
         self.args = args
         self.score_heads = args.score_heads.split(",")
         self.grounding_mode = args.grounding_mode
 
         # pre-tokenized incremental fragments (reference inference.py:61-63)
-        self._start_ids = tokenizer.apply_chat_template(
-            [{"role": "system", "content": args.system_prompt}], tokenize=True
-        )
-        self._stream_open_ids = tokenizer.encode(
-            f"\n{tokenizer.template.bos}stream\n"
-        )
-        self._gen_prompt_ids = tokenizer.encode(
-            f"{tokenizer.template.eos}\n{tokenizer.template.bos}assistant\n"
+        self._start_ids, self._stream_open_ids, self._gen_prompt_ids = (
+            build_prompt_fragments(tokenizer, args.system_prompt)
         )
 
         cache_size = kv_cache_size or (
@@ -355,13 +338,14 @@ class LiveInferEngine:
     def _frame_joiner_ids(self) -> List[int]:
         """Token ids to prepend to the next frame chunk (reference
         `inference.py:229-234` semantics)."""
-        if self.state.cursor == 0:
-            return list(self._start_ids)
-        if self.last_role == "assistant" and not self.args.remove_assistant_turns:
-            joiner = list(self._pending_ids) + list(self._stream_open_ids)
+        ids = frame_joiner_ids(
+            self.state.cursor, self.last_role, self._pending_ids,
+            self.args.remove_assistant_turns,
+            self._start_ids, self._stream_open_ids,
+        )
+        if self.state.cursor != 0 and ids:
             self._pending_ids = []
-            return joiner
-        return []
+        return ids
 
     def _encode_frame(self) -> Optional[Dict[str, float]]:
         if self.frame_embeds is None or self._next_frame >= len(self.frame_times):

@@ -44,6 +44,60 @@ def pad_chunk(embeds: jnp.ndarray, bucket: int) -> jnp.ndarray:
     )
 
 
+def validate_threshold_args(args) -> None:
+    """Exactly one threshold mode must be set (reference
+    `test/inference.py:53-54`). Shared by both engines."""
+    n_set = sum(
+        x is not None
+        for x in (
+            args.stream_end_prob_threshold,
+            args.stream_end_score_sum_threshold,
+            args.threshold_z,
+        )
+    )
+    if n_set != 1:
+        raise ValueError(
+            "exactly one of stream_end_prob_threshold, "
+            "stream_end_score_sum_threshold, threshold_z must be set "
+            f"(got prob={args.stream_end_prob_threshold}, "
+            f"sum={args.stream_end_score_sum_threshold}, z={args.threshold_z})"
+        )
+
+
+def build_prompt_fragments(tokenizer, system_prompt: str):
+    """The three pre-tokenized incremental fragments every engine feeds
+    (reference `inference.py:61-63`): (start_ids, stream_open_ids,
+    gen_prompt_ids)."""
+    start_ids = tokenizer.apply_chat_template(
+        [{"role": "system", "content": system_prompt}], tokenize=True
+    )
+    stream_open_ids = tokenizer.encode(
+        f"\n{tokenizer.template.bos}stream\n"
+    )
+    gen_prompt_ids = tokenizer.encode(
+        f"{tokenizer.template.eos}\n{tokenizer.template.bos}assistant\n"
+    )
+    return start_ids, stream_open_ids, gen_prompt_ids
+
+
+def frame_joiner_ids(
+    cursor: int,
+    last_role: str,
+    pending_ids: List[int],
+    remove_assistant_turns: bool,
+    start_ids,
+    stream_open_ids,
+) -> List[int]:
+    """Token ids to prepend to the next frame chunk (reference
+    `inference.py:229-234`). The caller clears ``pending_ids`` when the
+    joiner consumed them (i.e. whenever a non-start joiner is returned)."""
+    if cursor == 0:
+        return list(start_ids)
+    if last_role == "assistant" and not remove_assistant_turns:
+        return list(pending_ids) + list(stream_open_ids)
+    return []
+
+
 class ThresholdPolicy:
     """Per-stream response-trigger policy (reference `test/inference.py:
     287-299` sum-reset / single-frame modes plus the z-score adaptive mode

@@ -235,3 +235,21 @@ def test_cli_batched_matches_sequential(tmp_path):
                       if x["role"] == "assistant")
         assert b["latency"].get("aggregate") is True
     assert n_asst >= 1, "scenario never triggered generation"
+
+
+def test_frozen_lane_overflow_guard():
+    """A dispatch that feeds only SOME lanes still writes bucket-wide K/V
+    into every frozen lane at its cursor; a frozen live lane within the
+    write width of capacity must raise instead of silently clamping the
+    write backward over its committed slots."""
+    import jax.numpy as jnp
+
+    args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                     stream_end_prob_threshold=1.0, max_num_frames=8)
+    be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=2,
+                             kv_cache_size=512)
+    emb = jnp.zeros((2, 3, CFG.frame_num_tokens, CFG.text.hidden_size))
+    be.input_frame_embeds(emb)
+    be._cur[:] = [508, 10]  # lane 0 frozen, within bucket width of 512
+    with pytest.raises(RuntimeError, match="frozen stream 0"):
+        be._dispatch_chunks({1: [1, 2, 3]})

@@ -102,7 +102,10 @@ def test_two_process_dcn_train_step():
         losses.append(float(m.group(1)))
 
     w0, w1, single = losses
+    # both cluster processes print the SAME replicated scalar — exact
     assert w0 == w1, f"process losses disagree: {w0} vs {w1}"
-    assert w0 == single, (
+    # vs the single-process program: a different XLA executable whose
+    # collectives may reduce in a different order — tiny float tolerance
+    assert abs(w0 - single) < 5e-4, (
         f"2-process loss {w0} != single-process 4-device loss {single}"
     )
