@@ -97,7 +97,8 @@ class BatchedStreamScorer:
                 params, cfg, frames, KVCache(k, v), cache_len, use_flash=False,
             )
             n_tok = frames.shape[0] * frames.shape[1]
-            return inf, rel, cache.k, cache.v, cache_len + n_tok
+            # stacked (2, K): ONE host transfer per block for all scores
+            return jnp.stack([inf, rel]), cache.k, cache.v, cache_len + n_tok
 
         self._block_b = jax.jit(
             jax.vmap(_block_one, in_axes=(None, 0, 0, 0, 0)),
@@ -217,11 +218,11 @@ class BatchedStreamScorer:
         while self._next < T:
             n = min(self.block_frames, T - self._next)
             frames = self._frame_embeds[:, self._next : self._next + n]
-            inf, rel, self._k, self._v, self._cursor = self._block_b(
+            scores, self._k, self._v, self._cursor = self._block_b(
                 self.params, frames, self._k, self._v, self._cursor
             )
-            inf = np.asarray(inf)  # ONE host sync for B*n scores
-            rel = np.asarray(rel)
+            scores = np.asarray(scores)  # ONE host sync for B*2*n scores
+            inf, rel = scores[:, 0], scores[:, 1]
             for b in range(self.B):
                 for j in range(n):
                     t_idx = self._next + j
@@ -381,8 +382,12 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 (out.kv_cache.k, out.kv_cache.v, cursor, tok, buf,
                  jnp.int32(1), done, n, pen_mask),
             )
-            meta = jnp.stack([n, cursor])  # one packed fetch
-            return buf, meta, kk, vv, pen_mask
+            # tokens + per-lane n + per-lane cursor packed into ONE
+            # (B, max_new+2) array: a single host fetch per generation
+            packed = jnp.concatenate(
+                [buf, n[:, None], cursor[:, None]], axis=1
+            )
+            return packed, kk, vv, pen_mask
 
         self._gen_b = jax.jit(_gen_batched, donate_argnums=(2, 3))
         self.reset()
@@ -517,16 +522,16 @@ class BatchedStreamEngine(BatchedStreamScorer):
         active[list(lanes)] = True
         pre = self._cur.copy()
         embeds = jnp.broadcast_to(gen_embeds, (self.B, *gen_embeds.shape))
-        buf, meta, self._k, self._v, self._pen_mask = self._gen_b(
+        packed, self._k, self._v, self._pen_mask = self._gen_b(
             self.params, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32), self._pen_mask,
             jnp.asarray(active),
         )
-        buf = np.asarray(buf)
-        meta = np.asarray(meta)  # [n; cursor] packed: one fetch
+        packed = np.asarray(packed)  # ONE fetch: tokens + n + cursor
+        buf = packed[:, :-2]
         out: Dict[int, str] = {}
         for b in lanes:
-            n, cursor = int(meta[0, b]), int(meta[1, b])
+            n, cursor = int(packed[b, -2]), int(packed[b, -1])
             token_ids = buf[b, :n]
             if self.args.remove_assistant_turns:
                 self._cur[b] = pre[b]  # rewind: keep pre-response context
@@ -605,12 +610,12 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 ])
                 for b in live:
                     self._check_fits(b, K * ft)
-                inf, rel, self._k, self._v, _ = self._block_b(
+                scores_b, self._k, self._v, _ = self._block_b(
                     self.params, frames, self._k, self._v,
                     jnp.asarray(self._cur, jnp.int32),
                 )
-                inf = np.asarray(inf)
-                rel = np.asarray(rel)
+                scores_b = np.asarray(scores_b)  # ONE transfer per block
+                inf, rel = scores_b[:, 0], scores_b[:, 1]
                 for b in live:
                     self._cur[b] += K * ft
                 scores_of = {

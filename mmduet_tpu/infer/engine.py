@@ -149,7 +149,9 @@ class LiveInferEngine:
                 params, cfg, frames, KVCache(k, v), cache_len,
                 lora=lora, lora_scale=lora_scale, use_flash=use_flash,
             )
-            return inf, rel, cache.k, cache.v
+            # both score vectors stacked: the host reads ONE (2, K) array
+            # (a second fetch costs a full extra tunnel round trip)
+            return jnp.stack([inf, rel]), cache.k, cache.v
 
         self._frames_block = jax.jit(_frames_block, donate_argnums=(3, 4))
 
@@ -376,7 +378,7 @@ class LiveInferEngine:
         self.state.check_fits(n * ft)
         idx = self._next_frame
         frames = self.frame_embeds[idx : idx + n]
-        inf, rel, k, v = self._frames_block(
+        scores, k, v = self._frames_block(
             self.params, self.lora, frames,
             self.state.kv_cache.k, self.state.kv_cache.v,
             jnp.int32(self.state.cursor),
@@ -384,8 +386,8 @@ class LiveInferEngine:
         self.state.kv_cache = KVCache(k, v)
         self.state.cursor += n * ft
         self._next_frame += n
-        inf = np.asarray(inf)
-        rel = np.asarray(rel)
+        scores = np.asarray(scores)  # ONE host transfer for all 2*n scores
+        inf, rel = scores[0], scores[1]
         per_frame = (time.perf_counter() - t0) * 1000 / n
         self.frame_latencies_ms.extend([per_frame] * n)
         self.frame_idx += n

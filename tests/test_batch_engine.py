@@ -253,3 +253,85 @@ def test_frozen_lane_overflow_guard():
     be._cur[:] = [508, 10]  # lane 0 frozen, within bucket width of 512
     with pytest.raises(RuntimeError, match="frozen stream 0"):
         be._dispatch_chunks({1: [1, 2, 3]})
+
+
+class TestBatchedFuzzInterleavings:
+    """Adversarial randomized parity: random per-stream lengths, random
+    query times (incl. mid-block), random thresholds (prob and sum
+    modes), both remove_assistant_turns settings — BatchedStreamEngine
+    must equal 3 separate LiveInferEngine sessions on responses, debug
+    times and scores. Engines built once; thresholds /
+    remove_assistant_turns are host-side policy read at run time."""
+
+    def test_fuzz_batched_matches_single(self):
+        import jax.numpy as jnp
+
+        MAXF = 14
+        B = 3
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        embeds_all = jax.random.normal(
+            jax.random.PRNGKey(11), (B, MAXF, ft, H)) * 0.03
+
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         stream_end_prob_threshold=0.5,
+                         max_new_tokens=4, max_num_frames=MAXF)
+        be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=B,
+                                 block_frames=4, kv_cache_size=2048)
+        single = LiveInferEngine(
+            PARAMS, CFG, TOK,
+            InferArgs(system_prompt="sys", frame_fps=2.0,
+                      stream_end_prob_threshold=0.5,
+                      max_new_tokens=4, max_num_frames=MAXF),
+            kv_cache_size=2048, block_frames=4,
+        )
+
+        def norm(resp, debug):
+            return (
+                [(round(x["time"], 6), x["role"], x["content"]) for x in resp],
+                [round(d["time"], 6) for d in debug],
+                [d["informative_score"] for d in debug],
+            )
+
+        for seed in range(60):
+            r = np.random.RandomState(2000 + seed)
+            lengths = r.randint(3, MAXF + 1, size=B)
+            convs = []
+            for b in range(B):
+                dur = lengths[b] / 2.0
+                convs.append(sorted(
+                    (
+                        {"role": "user", "content": f"s{b}q{i}?",
+                         "time": float(np.round(r.uniform(0, dur), 3))}
+                        for i in range(r.randint(0, 3))
+                    ),
+                    key=lambda q: q["time"],
+                ))
+            if r.rand() < 0.5:
+                prob_thr, sum_thr = float(r.uniform(0.3, 0.7)), None
+            else:
+                prob_thr, sum_thr = None, float(r.uniform(0.5, 3.0))
+            remove = bool(r.rand() < 0.5)
+            ctx0 = (f"seed={seed} lens={lengths.tolist()} "
+                    f"thr=({prob_thr},{sum_thr}) rm={remove}")
+
+            for eng in (be, single):
+                eng.args.stream_end_prob_threshold = prob_thr
+                eng.args.stream_end_score_sum_threshold = sum_thr
+                eng.args.remove_assistant_turns = remove
+            be.reset()
+            be.input_frame_embeds(embeds_all, lengths=lengths)
+            be.input_query_streams(convs)
+            got_resp = be.stream_all()
+
+            for b in range(B):
+                single.reset()
+                single.set_fps(2.0)
+                single.input_frame_embeds(embeds_all[b, : lengths[b]])
+                single.input_query_stream(convs[b])
+                want = norm(single.inference(), single.debug_data_list)
+                got = norm(got_resp[b], be.debug_data_lists[b])
+                ctx = f"{ctx0} stream={b}"
+                assert got[0] == want[0], f"responses diverged: {ctx}"
+                assert got[1] == want[1], f"debug times diverged: {ctx}"
+                np.testing.assert_allclose(got[2], want[2], atol=3e-5,
+                                           err_msg=f"scores: {ctx}")
