@@ -17,6 +17,9 @@ pred=${output_dir}/eval/qvh_val-random_prompt-pred.json
 
 if [ -n "$TINY_RANDOM" ]; then model_args=(--tiny_random --frame_resolution 32);
 else model_args=(--checkpoint "${CHECKPOINT:?set CHECKPOINT or TINY_RANDOM=1}"); fi
+# BATCH_STREAMS=N serves N samples concurrently (continuous batching);
+# per-sample outputs are identical to the sequential driver
+if [ -n "$BATCH_STREAMS" ]; then model_args+=(--batch_streams "$BATCH_STREAMS"); fi
 
 python -u -m mmduet_tpu.eval.inference --grounding_mode true \
     "${model_args[@]}" \
