@@ -35,7 +35,9 @@ import numpy as np
 
 FRAME_TOKENS = 49
 BLOCK = 32  # grounding-mode serving block (engine default for score-only)
-VISION_WARMUP = 64  # e2e warmup frames (2 vision batches, 2 blocks, 1 gen)
+VISION_WARMUP = 65  # e2e warmup frames: 2 vision batches + a padded one,
+# 2 fused blocks + 1 single-frame tail step, 1 triggered generation —
+# every compiled shape the measured stream hits
 
 
 def _text_cfg(num_layers):
@@ -373,8 +375,11 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     # compiles would otherwise dominate stream_s
     t0 = time.perf_counter()
     engine.input_video_stream(pixels[:VISION_WARMUP])
+    # SAME query text as the measured run: a different length would pick
+    # a different prefill bucket and leave an XLA compile (~8 s through
+    # the tunnel) inside the measured stream
     engine.input_query_stream(
-        [{"role": "user", "content": "warmup?", "time": 0.0}]
+        [{"role": "user", "content": "What is happening?", "time": 0.0}]
     )
     engine.inference()
     engine._generate_response()

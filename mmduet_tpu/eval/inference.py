@@ -87,6 +87,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
                         "model resident on a v5e-8)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile every hot serving shape before the first "
+                        "sample (prefill buckets, fused block, decode "
+                        "loop) — an un-warmed shape mid-stream stalls "
+                        "that sample for a full XLA compile")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the run (view "
                         "with tensorboard/xprof) — the tracing hook the "
@@ -213,6 +218,10 @@ def _main_inner(args) -> None:
     if args.batch_streams > 1:
         return _run_batched(args)
     engine = build_engine(args)
+    if args.prewarm:
+        t0 = time.perf_counter()
+        engine.prewarm(vision=True)
+        print(f"prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     dataset = _make_dataset(args, engine.cfg.frame_resolution)
 
     n_done = 0

@@ -201,7 +201,13 @@ class LiveInferEngine:
             cache, cursor, _, out_buf, n, _, pen_mask = jax.lax.while_loop(
                 cond, body, (cache, cursor, tok0, out_buf, 1, done0, pen_mask)
             )
-            return out_buf, n, cache.k, cache.v, cursor, pen_mask
+            # tokens + n + cursor packed into ONE (max_new+2,) array — a
+            # single host fetch per generation instead of two round trips
+            packed = jnp.concatenate(
+                [out_buf, n[None].astype(jnp.int32),
+                 cursor[None].astype(jnp.int32)]
+            )
+            return packed, cache.k, cache.v, pen_mask
 
         self._generate = jax.jit(_generate, donate_argnums=(3, 4))
 
@@ -247,6 +253,50 @@ class LiveInferEngine:
         self.num_frames_no_reply = 0
         self._policy = ThresholdPolicy(self.args)
         self._pen_mask = jnp.zeros((self.cfg.text.vocab_size,), bool)
+
+    def prewarm(
+        self,
+        buckets: Sequence[int] = (8, 16, 32, 64, 96),
+        block: bool = True,
+        generate: bool = True,
+        vision: bool = False,
+    ) -> None:
+        """Compile every hot serving shape BEFORE the first live session.
+
+        An un-warmed shape hit mid-stream stalls the session for a full
+        XLA compile (measured ~8 s for one prefill bucket of the 7B int8
+        model through a tunneled chip). Production serving calls this
+        once at startup: each prefill bucket (query turns and frame
+        chunks bucket to these widths, `state.DEFAULT_BUCKETS`), the
+        fused frame block, the greedy-decode loop, and optionally the
+        batched vision encode. Resets the engine afterwards."""
+        H = self.cfg.text.hidden_size
+        ft = self.cfg.frame_num_tokens
+        zero = lambda n: jnp.zeros((n, H), self.dtype)  # noqa: E731
+        for b in buckets:
+            if self.state.capacity < b:
+                continue
+            self.state.cursor = 0
+            self._feed(zero(b))
+        if block and self.block_frames >= 2:
+            self.state.cursor = 0
+            _, k, v = self._frames_block(
+                self.params, self.lora,
+                jnp.zeros((self.block_frames, ft, H), self.dtype),
+                self.state.kv_cache.k, self.state.kv_cache.v, jnp.int32(0),
+            )
+            # the call donates the cache buffers — rebind the new ones
+            self.state.kv_cache = KVCache(k, v)
+        if generate:
+            self.state.cursor = 0
+            self._generate_response()
+        if vision:
+            px = jnp.zeros(
+                (VISION_BATCH, self.cfg.frame_resolution,
+                 self.cfg.frame_resolution, 3), jnp.uint8,
+            )
+            jax.block_until_ready(self._visual(self.params, px))
+        self.reset()
 
     # ------------------------------------------------------------------
     # inputs
@@ -426,15 +476,17 @@ class LiveInferEngine:
         t_real = gen_embeds.shape[0]
         self.state.check_fits(t_real + self.args.max_new_tokens)
         pre_gen_cursor = self.state.cursor
-        out_buf, n, k, v, cursor, pen_mask = self._generate(
+        packed, k, v, pen_mask = self._generate(
             self.params, self.lora, gen_embeds,
             self.state.kv_cache.k, self.state.kv_cache.v,
             jnp.int32(pre_gen_cursor), jnp.int32(t_real), self._pen_mask,
         )
         self.state.kv_cache = KVCache(k, v)
         self._pen_mask = pen_mask
-        n = int(n)
-        token_ids = np.asarray(out_buf)[:n]
+        packed = np.asarray(packed)  # ONE fetch: tokens + n + cursor
+        n = int(packed[-2])
+        cursor = int(packed[-1])
+        token_ids = packed[:n]
         if self.args.remove_assistant_turns:
             # rewind: keep the pre-response stream context only
             self.state.cursor = pre_gen_cursor

@@ -354,3 +354,37 @@ class TestBlockFuzzInterleavings:
                                            err_msg=f"informative: {ctx}")
                 np.testing.assert_allclose(got[3], ref[3], atol=1e-5,
                                            err_msg=f"relevance: {ctx}")
+
+
+class TestPrewarm:
+    def test_prewarm_then_session_matches_cold_engine(self):
+        """prewarm() compiles the hot shapes and resets; a session after
+        prewarm is identical to one on a cold engine."""
+        def build():
+            return LiveInferEngine(
+                PARAMS, CFG, TOK,
+                make_args(stream_end_prob_threshold=0.5, max_new_tokens=4,
+                          max_num_frames=16),
+                kv_cache_size=1024, block_frames=4,
+            )
+
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(21), (9, CFG.frame_num_tokens,
+                                     CFG.text.hidden_size)) * 0.03
+        q = [{"role": "user", "content": "what happens?", "time": 0.5}]
+
+        def run(eng):
+            eng.set_fps(2.0)
+            eng.input_frame_embeds(embeds)
+            eng.input_query_stream(list(q))
+            resp = eng.inference()
+            return resp, eng.debug_data_list
+
+        warm = build()
+        warm.prewarm(vision=False)
+        # state fully reset after prewarm
+        assert warm.state.cursor == 0 and warm.debug_data_list == []
+        got = run(warm)
+        want = run(build())
+        assert got[0] == want[0]
+        assert got[1] == want[1]
