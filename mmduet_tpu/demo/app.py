@@ -179,6 +179,9 @@ def main(argv=None):
     # reuse the CLI's model construction, but with the demo engine class
     engine = build_engine(args)
     engine.__class__ = LiveInferForDemo
+    # interactive serving: compile every hot shape up front so the first
+    # frame/query/response of a live session never stalls on XLA
+    engine.prewarm(vision=True)
 
     # decode at the MODEL's frame resolution unless explicitly overridden
     resolution = args.frame_resolution or engine.cfg.frame_resolution

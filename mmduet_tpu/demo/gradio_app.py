@@ -38,6 +38,9 @@ def main(argv=None):
 
     engine = build_engine(args)
     engine.__class__ = LiveInferForDemo
+    # interactive serving: compile every hot shape up front so the first
+    # frame/query/response of a live session never stalls on XLA
+    engine.prewarm(vision=True)
 
     def start_chat(video_file, threshold_mode, score_heads, rm_turns,
                    threshold, frame_interval, history):

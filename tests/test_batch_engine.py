@@ -306,17 +306,22 @@ class TestBatchedFuzzInterleavings:
                     ),
                     key=lambda q: q["time"],
                 ))
-            if r.rand() < 0.5:
-                prob_thr, sum_thr = float(r.uniform(0.3, 0.7)), None
+            u = r.rand()
+            prob_thr = sum_thr = z_thr = None
+            if u < 0.4:
+                prob_thr = float(r.uniform(0.3, 0.7))
+            elif u < 0.8:
+                sum_thr = float(r.uniform(0.5, 3.0))
             else:
-                prob_thr, sum_thr = None, float(r.uniform(0.5, 3.0))
+                z_thr = float(r.uniform(0.2, 1.0))
             remove = bool(r.rand() < 0.5)
             ctx0 = (f"seed={seed} lens={lengths.tolist()} "
-                    f"thr=({prob_thr},{sum_thr}) rm={remove}")
+                    f"thr=({prob_thr},{sum_thr},{z_thr}) rm={remove}")
 
             for eng in (be, single):
                 eng.args.stream_end_prob_threshold = prob_thr
                 eng.args.stream_end_score_sum_threshold = sum_thr
+                eng.args.threshold_z = z_thr
                 eng.args.remove_assistant_turns = remove
             be.reset()
             be.input_frame_embeds(embeds_all, lengths=lengths)
