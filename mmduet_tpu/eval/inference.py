@@ -280,6 +280,10 @@ def _run_batched(args) -> None:
     engine = BatchedStreamEngine(
         params, cfg, tokenizer, test_args, n_streams=B,
     )
+    if args.prewarm:
+        t0 = time.perf_counter()
+        engine.prewarm(vision=True)
+        print(f"prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     dataset = _make_dataset(args, cfg.frame_resolution)
 
     n_done = 0

@@ -545,6 +545,45 @@ class BatchedStreamEngine(BatchedStreamScorer):
 
     # ------------------------------------------------------------------
 
+    def prewarm(
+        self,
+        buckets: Sequence[int] = (8, 16, 32, 64, 96),
+        block: bool = True,
+        generate: bool = True,
+        vision: bool = False,
+    ) -> None:
+        """Compile every hot batched-serving shape before the first group
+        (engine `prewarm` semantics: an un-warmed prefill bucket hit
+        mid-stream stalls all B sessions for an XLA compile). Resets the
+        engine afterwards."""
+        H = self.params["decoder"]["final_norm"].shape[-1]
+        ft = self.cfg.frame_num_tokens
+        active = jnp.ones((self.B,), bool)
+        cur0 = jnp.zeros((self.B,), jnp.int32)
+        for b in buckets:
+            if b > self._cache_size:
+                continue
+            embeds = jnp.zeros((self.B, b, H), self.dtype)
+            _, self._k, self._v, _ = self._chunk_b(
+                self.params, embeds, self._k, self._v, cur0,
+                jnp.full((self.B,), b, jnp.int32), active,
+            )
+        if block and self.block_frames >= 2:
+            frames = jnp.zeros((self.B, self.block_frames, ft, H), self.dtype)
+            _, self._k, self._v, _ = self._block_b(
+                self.params, frames, self._k, self._v, cur0
+            )
+        if generate:
+            self._cur[:] = 0
+            self._generate_batch(list(range(self.B)))
+        if vision:
+            px = jnp.zeros(
+                (VISION_BATCH, self.cfg.frame_resolution,
+                 self.cfg.frame_resolution, 3), jnp.uint8,
+            )
+            jax.block_until_ready(self._visual(self.params, px))
+        self.reset()
+
     def stream_all(self) -> List[List[Dict[str, Any]]]:
         """Stream every session to completion; per-stream time-sorted
         response lists in the reference JSONL schema (engine

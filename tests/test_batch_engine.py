@@ -340,3 +340,33 @@ class TestBatchedFuzzInterleavings:
                 assert got[1] == want[1], f"debug times diverged: {ctx}"
                 np.testing.assert_allclose(got[2], want[2], atol=3e-5,
                                            err_msg=f"scores: {ctx}")
+
+
+def test_batched_prewarm_then_session_matches_cold():
+    import jax.numpy as jnp
+
+    args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                     stream_end_prob_threshold=0.5, max_new_tokens=4,
+                     repetition_penalty=1.05, max_num_frames=16)
+
+    def build():
+        return BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=2,
+                                   block_frames=4, kv_cache_size=1024)
+
+    emb = jax.random.normal(
+        jax.random.PRNGKey(31),
+        (2, 7, CFG.frame_num_tokens, CFG.text.hidden_size)) * 0.03
+    convs = [[{"role": "user", "content": "hm?", "time": 0.5}], []]
+
+    def run(eng):
+        eng.input_frame_embeds(emb)
+        eng.input_query_streams(convs)
+        return eng.stream_all(), eng.debug_data_lists
+
+    warm = build()
+    warm.prewarm(vision=False)
+    assert all(c == 0 for c in warm._cur)
+    got = run(warm)
+    want = run(build())
+    assert got[0] == want[0]
+    assert got[1] == want[1]
