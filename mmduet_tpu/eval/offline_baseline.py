@@ -67,7 +67,7 @@ class OfflineBaselineRunner(LiveInferEngine):
         for i in range(0, len(body), max_feed_chunk):
             self._feed(body[i : i + max_feed_chunk])
         pre_cursor = self.state.cursor
-        out_buf, n, k, v, cursor, pen_mask = self._generate(
+        packed, k, v, pen_mask = self._generate(
             self.params, self.lora, gen_prompt,
             self.state.kv_cache.k, self.state.kv_cache.v,
             jnp.int32(pre_cursor), jnp.int32(len(gen_prompt)), self._pen_mask,
@@ -75,8 +75,9 @@ class OfflineBaselineRunner(LiveInferEngine):
         from ..models.qwen2 import KVCache
 
         self.state.kv_cache = KVCache(k, v)
-        self.state.cursor = int(cursor)
-        token_ids = np.asarray(out_buf)[: int(n)]
+        packed = np.asarray(packed)  # ONE fetch: tokens + n + cursor
+        self.state.cursor = int(packed[-1])
+        token_ids = packed[: int(packed[-2])]
         return self.tokenizer.decode(token_ids, skip_special_tokens=True)
 
 
