@@ -39,8 +39,10 @@ body { font-family: sans-serif; margin: 2em; max-width: 900px; }
      &nbsp; frame <span id="fidx">0</span>, t=<span id="t">0</span>s</div>
 <div id="chat"></div>
 <form onsubmit="send(); return false;">
-  <input id="msg" size="60" placeholder="ask about the video..."/>
+  <input id="msg" size="60" placeholder="ask about the video..."
+         onfocus="fetch('/pause')"/>
   <button>send</button>
+  <button type="button" id="pp" onclick="toggle()">pause</button>
 </form>
 <script>
 async function poll() {
@@ -63,12 +65,18 @@ async function poll() {
   document.getElementById('chat').innerHTML = s.chat.map(
     m => `<div class="${m.role}"><b>[${m.time.toFixed(1)}s ${m.role}]</b> ${m.content}</div>`
   ).join('');
+  document.getElementById('pp').textContent = s.paused ? 'resume' : 'pause';
   setTimeout(poll, 500);
+}
+async function toggle() {
+  const r = await fetch('/state'); const s = await r.json();
+  await fetch(s.paused ? '/resume' : '/pause');
 }
 async function send() {
   const v = document.getElementById('msg').value;
   document.getElementById('msg').value = '';
   await fetch('/query?text=' + encodeURIComponent(v));
+  await fetch('/resume');  // reference demo resumes on submit
 }
 poll();
 </script></body></html>"""
@@ -84,6 +92,11 @@ class DemoState:
         self.lock = threading.Lock()
         self.pending_queries = []
         self.done = False
+        # reference demo's pause Event (`demo/app.py:13-14,185-197`):
+        # set = streaming; typing in the chat box pauses the video so a
+        # query lands at the intended moment, submit/resume continues
+        self.pause_event = threading.Event()
+        self.pause_event.set()
 
     def run(self):
         eng = self.engine
@@ -91,6 +104,7 @@ class DemoState:
         eng.set_fps(fps=self.fps)
         eng.input_video_stream(self.frames)
         while True:
+            self.pause_event.wait()
             with self.lock:
                 for q in self.pending_queries:
                     eng.encode_given_query(q)
@@ -125,6 +139,7 @@ class DemoState:
                 "time": eng.video_time,
                 "total_frames": len(eng.frame_times),
                 "done": self.done,
+                "paused": not self.pause_event.is_set(),
             }
 
 
@@ -144,6 +159,12 @@ def make_handler(state: DemoState):
                 if text.strip():
                     with state.lock:
                         state.pending_queries.append(text.strip())
+                body, ctype = b"{}", "application/json"
+            elif url.path == "/pause":
+                state.pause_event.clear()
+                body, ctype = b"{}", "application/json"
+            elif url.path == "/resume":
+                state.pause_event.set()
                 body, ctype = b"{}", "application/json"
             else:
                 self.send_response(404)

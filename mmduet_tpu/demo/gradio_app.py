@@ -10,6 +10,7 @@ time (`demo/app.py:84-177`)."""
 from __future__ import annotations
 
 import argparse
+import threading
 import time
 
 
@@ -42,6 +43,11 @@ def main(argv=None):
     # frame/query/response of a live session never stalls on XLA
     engine.prewarm(vision=True)
 
+    # reference demo's pause Event (`demo/app.py:13-14,185-197`): typing
+    # pauses the stream so the query lands at the intended moment
+    pause_event = threading.Event()
+    pause_event.set()
+
     def start_chat(video_file, threshold_mode, score_heads, rm_turns,
                    threshold, frame_interval, history):
         engine.args.remove_assistant_turns = rm_turns == "remove"
@@ -62,6 +68,7 @@ def main(argv=None):
         history = history or []
         scores = []
         while True:
+            pause_event.wait()
             t0 = time.perf_counter()
             res = engine.input_one_frame()
             if res is None:
@@ -89,7 +96,11 @@ def main(argv=None):
 
     def user_message(msg, history):
         engine.encode_given_query(msg)
+        pause_event.set()  # resume on submit, like the reference
         return "", (history or []) + [(f"[{engine.video_time:.1f}s] {msg}", None)]
+
+    def pause_stream():
+        pause_event.clear()
 
     with gr.Blocks(title="MMDuet-TPU") as demo_ui:
         gr.Markdown("## MMDuet-TPU — streaming video-text duet")
@@ -116,6 +127,7 @@ def main(argv=None):
                      frame_interval, chat],
                     [chat, plot])
         msg.submit(user_message, [msg, chat], [msg, chat])
+        msg.focus(pause_stream)
     demo_ui.queue().launch(server_port=args.port)
 
 

@@ -119,3 +119,43 @@ class TestDemoServer:
             assert state.pending_queries == ["hello"]
         finally:
             srv.shutdown()
+
+    def test_pause_resume(self):
+        """The reference demo's pause Event (`demo/app.py:13-14,185-197`):
+        /pause stalls the streaming loop mid-video, /resume continues it
+        to completion with every frame still scored exactly once."""
+        import json
+        import threading
+        import time
+        import urllib.request
+        from http.server import HTTPServer
+
+        from mmduet_tpu.demo.app import DemoState, make_handler
+
+        demo = make_demo(grounding_mode=True, stream_end_prob_threshold=1.0)
+        frames = np.random.RandomState(3).randint(0, 255, (6, 32, 32, 3), np.uint8)
+        state = DemoState(demo, frames, fps=2.0, realtime=False)
+        state.pause_event.clear()  # paused before the loop starts
+        t = threading.Thread(target=state.run, daemon=True)
+        t.start()
+        time.sleep(0.5)
+        assert not state.done and state.snapshot()["paused"]
+
+        srv = HTTPServer(("127.0.0.1", 0), make_handler(state))
+        st = threading.Thread(target=srv.serve_forever, daemon=True)
+        st.start()
+        try:
+            port = srv.server_address[1]
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/resume", timeout=10)
+            t.join(timeout=60)
+            assert state.done
+            snap = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/state", timeout=10).read())
+            assert len(snap["informative"]) == 6 and not snap["paused"]
+            # pause endpoint flips the event back
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/pause", timeout=10)
+            assert not state.pause_event.is_set()
+        finally:
+            srv.shutdown()
