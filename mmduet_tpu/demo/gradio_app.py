@@ -68,7 +68,11 @@ def main(argv=None):
         history = history or []
         scores = []
         while True:
-            pause_event.wait()
+            # cooperative pause: keep yielding so a single-worker gradio
+            # queue can still schedule the resume event (a bare .wait()
+            # would wedge the worker forever on gradio 3.x)
+            while not pause_event.wait(timeout=0.2):
+                yield history, _plot(scores)
             t0 = time.perf_counter()
             res = engine.input_one_frame()
             if res is None:

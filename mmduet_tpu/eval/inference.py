@@ -220,7 +220,9 @@ def _main_inner(args) -> None:
     engine = build_engine(args)
     if args.prewarm:
         t0 = time.perf_counter()
-        engine.prewarm(vision=True)
+        # grounding never generates — skip compiling + running the
+        # decode loop (up to max_new_tokens sequential device steps)
+        engine.prewarm(vision=True, generate=not args.grounding_mode)
         print(f"prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     dataset = _make_dataset(args, engine.cfg.frame_resolution)
 
@@ -279,10 +281,14 @@ def _run_batched(args) -> None:
     B = args.batch_streams
     engine = BatchedStreamEngine(
         params, cfg, tokenizer, test_args, n_streams=B,
+        # same block policy as the single engine: grounding never
+        # generates, so a trigger never rolls frames back and a big
+        # fused block is a pure win
+        block_frames=32 if args.grounding_mode else 8,
     )
     if args.prewarm:
         t0 = time.perf_counter()
-        engine.prewarm(vision=True)
+        engine.prewarm(vision=True, generate=not args.grounding_mode)
         print(f"prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     dataset = _make_dataset(args, cfg.frame_resolution)
 

@@ -36,6 +36,7 @@ from ..config import MMDuetConfig
 from ..models import mmduet
 from ..models.qwen2 import KVCache, embed_tokens, init_kv_cache
 from .state import (
+    DEFAULT_BUCKETS,
     ThresholdPolicy,
     build_prompt_fragments,
     frame_joiner_ids,
@@ -547,7 +548,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
 
     def prewarm(
         self,
-        buckets: Sequence[int] = (8, 16, 32, 64, 96),
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
         block: bool = True,
         generate: bool = True,
         vision: bool = False,

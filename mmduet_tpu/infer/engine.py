@@ -256,7 +256,7 @@ class LiveInferEngine:
 
     def prewarm(
         self,
-        buckets: Sequence[int] = (8, 16, 32, 64, 96),
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
         block: bool = True,
         generate: bool = True,
         vision: bool = False,
@@ -269,7 +269,20 @@ class LiveInferEngine:
         once at startup: each prefill bucket (query turns and frame
         chunks bucket to these widths, `state.DEFAULT_BUCKETS`), the
         fused frame block, the greedy-decode loop, and optionally the
-        batched vision encode. Resets the engine afterwards."""
+        batched vision encode. Resets the engine afterwards.
+
+        Not supported under tensor-parallel serving (``mesh`` set): jit
+        caches key on input shardings and these synthetic inputs would
+        not match the mesh-sharded arrays the real stream feeds — the
+        compiles would be wasted, so this is a warned no-op there."""
+        if self.mesh is not None:
+            import warnings
+
+            warnings.warn(
+                "prewarm() is a no-op under tensor-parallel serving: "
+                "synthetic inputs would compile for the wrong shardings"
+            )
+            return
         H = self.cfg.text.hidden_size
         ft = self.cfg.frame_num_tokens
         zero = lambda n: jnp.zeros((n, H), self.dtype)  # noqa: E731

@@ -20,6 +20,8 @@ else model_args=(--checkpoint "${CHECKPOINT:?set CHECKPOINT or TINY_RANDOM=1}");
 # BATCH_STREAMS=N serves N samples concurrently (continuous batching);
 # per-sample outputs are identical to the sequential driver
 if [ -n "$BATCH_STREAMS" ]; then model_args+=(--batch_streams "$BATCH_STREAMS"); fi
+# PREWARM=1 compiles every hot serving shape before the first sample
+if [ -n "$PREWARM" ]; then model_args+=(--prewarm); fi
 
 python -u -m mmduet_tpu.eval.inference --grounding_mode true \
     "${model_args[@]}" \

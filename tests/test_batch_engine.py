@@ -264,8 +264,6 @@ class TestBatchedFuzzInterleavings:
     remove_assistant_turns are host-side policy read at run time."""
 
     def test_fuzz_batched_matches_single(self):
-        import jax.numpy as jnp
-
         MAXF = 14
         B = 3
         H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
@@ -343,8 +341,6 @@ class TestBatchedFuzzInterleavings:
 
 
 def test_batched_prewarm_then_session_matches_cold():
-    import jax.numpy as jnp
-
     args = InferArgs(system_prompt="sys", frame_fps=2.0,
                      stream_end_prob_threshold=0.5, max_new_tokens=4,
                      repetition_penalty=1.05, max_num_frames=16)
