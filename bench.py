@@ -167,13 +167,21 @@ def run_score(params, text, cfg):
     inf, rel, k, v, cl = frames_block(params, k, v, frames, cl)
     float(inf[-1])  # warmup/compile
 
+    # one-deep pipelining, as the engine's grounding loop does: fetch
+    # block i-1's scores AFTER dispatching block i, hiding the host
+    # round trip behind on-chip compute. Per-iteration wall therefore
+    # measures the steady-state overlapped cost.
     lat, single_lat = [], []
+    pending = None
     for _ in range(1, MAX_FRAMES // BLOCK):
         t0 = time.perf_counter()
         inf, rel, k, v, cl = frames_block(params, k, v, frames, cl)
-        float(inf[-1])  # ONE host sync per block, as the engine does
+        if pending is not None:
+            np.asarray(pending)  # ONE host sync per block
+        pending = inf
         dt = (time.perf_counter() - t0) * 1000
         lat.extend([dt / BLOCK] * BLOCK)
+    np.asarray(pending)
 
     # single-step latency (interactive/demo mode)
     scores, k, v, cl = frame_step(params, k, v, frame, cl)

@@ -212,21 +212,28 @@ class BatchedStreamScorer:
     def score_all(self) -> List[List[Dict[str, float]]]:
         """Stream every frame; returns per-stream debug rows
         ``{time, informative_score, relevance_score}`` (same schema as
-        `LiveInferEngine.debug_data_list`)."""
+        `LiveInferEngine.debug_data_list`).
+
+        One-deep block pipelining: block i+1 is dispatched before block
+        i's scores are fetched, hiding the host round trip behind
+        on-chip compute (scores-only streaming never rolls back, same
+        argument as `LiveInferEngine._inference_grounding`)."""
         assert self._frame_embeds is not None, "input video streams first"
         T = self._frame_embeds.shape[1]
         out: List[List[Dict[str, float]]] = [[] for _ in range(self.B)]
-        while self._next < T:
-            n = min(self.block_frames, T - self._next)
-            frames = self._frame_embeds[:, self._next : self._next + n]
-            scores, self._k, self._v, self._cursor = self._block_b(
-                self.params, frames, self._k, self._v, self._cursor
-            )
-            scores = np.asarray(scores)  # ONE host sync for B*2*n scores
+        pending = None  # (dev_scores, first_frame_idx, n)
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            dev, first, n = pending
+            pending = None
+            scores = np.asarray(dev)  # ONE host sync for B*2*n scores
             inf, rel = scores[:, 0], scores[:, 1]
             for b in range(self.B):
                 for j in range(n):
-                    t_idx = self._next + j
+                    t_idx = first + j
                     if t_idx >= self._lengths[b]:
                         continue  # stream b already ended: padded garbage
                     out[b].append({
@@ -234,7 +241,17 @@ class BatchedStreamScorer:
                         "informative_score": float(inf[b, j]),
                         "relevance_score": float(rel[b, j]),
                     })
+
+        while self._next < T:
+            n = min(self.block_frames, T - self._next)
+            frames = self._frame_embeds[:, self._next : self._next + n]
+            dev, self._k, self._v, self._cursor = self._block_b(
+                self.params, frames, self._k, self._v, self._cursor
+            )
+            drain()  # previous block: its RTT hides behind this dispatch
+            pending = (dev, self._next, n)
             self._next += n
+        drain()
         return out
 
 

@@ -388,3 +388,72 @@ class TestPrewarm:
         want = run(build())
         assert got[0] == want[0]
         assert got[1] == want[1]
+
+
+class TestGroundingPipelined:
+    """The pipelined grounding loop (`_inference_grounding`) must produce
+    debug rows identical to the sequential loop across random lengths,
+    query times, block sizes and threshold modes."""
+
+    def test_pipelined_equals_sequential(self):
+        MAXF = 21
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        embeds_all = jax.random.normal(
+            jax.random.PRNGKey(17), (MAXF, ft, H)) * 0.03
+
+        def build(block):
+            return LiveInferEngine(
+                PARAMS, CFG, TOK,
+                make_args(stream_end_prob_threshold=0.5, grounding_mode=True,
+                          max_num_frames=MAXF),
+                kv_cache_size=2048, block_frames=block,
+            )
+
+        engines = {b: build(b) for b in (4, 8)}
+
+        def run(eng, n_frames, queries, pipelined):
+            eng.reset()
+            eng.pipeline_grounding = pipelined
+            eng.set_fps(2.0)
+            eng.input_frame_embeds(embeds_all[:n_frames])
+            eng.input_query_stream(queries)
+            resp = eng.inference()
+            return (
+                resp,
+                [(round(d["time"], 6), d["informative_score"],
+                  d["relevance_score"]) for d in eng.debug_data_list],
+                list(eng.stream_end_prob_list),
+                eng.stream_end_score_sum,
+            )
+
+        for seed in range(30):
+            r = np.random.RandomState(3000 + seed)
+            n_frames = int(r.randint(4, MAXF + 1))
+            dur = n_frames / 2.0
+            queries = sorted(
+                (
+                    {"role": "user", "content": f"q{i}?",
+                     "time": float(np.round(r.uniform(0, dur), 3))}
+                    for i in range(r.randint(0, 3))
+                ),
+                key=lambda q: q["time"],
+            )
+            b = (4, 8)[seed % 2]
+            eng = engines[b]
+            if r.rand() < 0.5:
+                eng.args.stream_end_prob_threshold = 0.5
+                eng.args.stream_end_score_sum_threshold = None
+            else:
+                eng.args.stream_end_prob_threshold = None
+                eng.args.stream_end_score_sum_threshold = 1.5
+            want = run(eng, n_frames, queries, pipelined=False)
+            got = run(eng, n_frames, queries, pipelined=True)
+            ctx = f"seed={seed} block={b} n={n_frames} q={[q['time'] for q in queries]}"
+            assert got[0] == want[0], f"responses: {ctx}"
+            assert len(got[1]) == len(want[1]) == n_frames, ctx
+            for g, w in zip(got[1], want[1]):
+                assert g[0] == w[0], f"times: {ctx}"
+                np.testing.assert_allclose(g[1:], w[1:], atol=1e-6,
+                                           err_msg=ctx)
+            np.testing.assert_allclose(got[2], want[2], atol=1e-6, err_msg=ctx)
+            np.testing.assert_allclose(got[3], want[3], atol=1e-6, err_msg=ctx)
