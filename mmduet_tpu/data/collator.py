@@ -34,6 +34,10 @@ class Collator:
     seq_len: int  # fixed padded sequence length
     max_frames: int  # fixed padded frame count (across the whole batch)
     frame_size: Optional[int] = None  # None → samples carry vision feats
+    # (patches, channels) of pre-extracted features — required in feature
+    # mode to emit a correctly-shaped empty ``vision_feats`` when a
+    # micro-batch has zero frames (text-only / skip_video samples)
+    feat_shape: Optional[Tuple[int, int]] = None
 
     def __call__(self, samples: Sequence[tuple]) -> Dict[str, np.ndarray]:
         tok = self.tokenizer
@@ -97,11 +101,22 @@ class Collator:
             "sample_idxs": np.asarray(sample_idxs, np.int32),
         }
 
-        frames_cat = (
-            np.concatenate(all_frames)
-            if all_frames
-            else np.zeros((0, self.frame_size or 1, self.frame_size or 1, 3), np.uint8)
-        )
+        if all_frames:
+            frames_cat = np.concatenate(all_frames)
+        elif self.frame_size is not None:
+            frames_cat = np.zeros(
+                (0, self.frame_size, self.frame_size, 3), np.uint8
+            )
+        elif self.feat_shape is not None:
+            # feature mode: the empty batch must still carry the
+            # ``vision_feats`` key (and shape) so grad-accum stacking and
+            # the jitted step see one consistent layout
+            frames_cat = np.zeros((0, *self.feat_shape), np.float32)
+        else:
+            raise ValueError(
+                "feature-mode Collator (frame_size=None) needs feat_shape "
+                "to collate a micro-batch with zero frames"
+            )
         n_frames = len(frames_cat)
         if n_frames > self.max_frames:
             raise ValueError(

@@ -172,7 +172,9 @@ def sharded_reencode(
     for i, src in enumerate(list_videos(src_root)):
         if i % num_shards != shard_index:
             continue
-        dst = src.replace(src_root, dst_root)
+        # relpath+join, NOT str.replace: a filename containing the root
+        # string (e.g. videos/my_videos.mp4) must keep its basename
+        dst = os.path.join(dst_root, os.path.relpath(src, src_root))
         if use_ffmpeg:
             ffmpeg_once(
                 src, dst, fps=fps, resolution=resolution, pad=pad, mode=mode,

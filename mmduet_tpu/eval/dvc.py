@@ -59,14 +59,7 @@ def chased_dp_assignment(scores: np.ndarray) -> Tuple[float, List[Tuple[int, int
     path = np.zeros((m, n), int)
     for i in range(m):
         for j in range(n):
-            cands = [
-                dp[i - 1, j] if i > 0 else -1,
-                dp[i, j - 1] if j > 0 else -1,
-                (dp[i - 1, j - 1] if i > 0 and j > 0 else 0) + scores[i, j]
-                if (i > 0 and j > 0) or (i == 0 and j == 0)
-                else (scores[i, j] if i == 0 and j == 0 else -1),
-            ]
-            # replicate reference transition exactly:
+            # reference transition table, exactly:
             if i == 0 and j == 0:
                 cands = [-1, -1, scores[i, j]]
             elif i == 0:
@@ -240,10 +233,13 @@ def _eval_dense_captioning_inner(pred_out, gold_out, cider, meteor,
 
         g, p = match_captions(pred_segs, gt_segs, pred_caps, gt_caps)
         for t in IOU_THRESHOLDS:
+            # keyed by gold ROW (not image_id): duplicate image_ids must
+            # not overwrite each other's matched pairs. Key names are
+            # identifiers only — CIDEr/METEOR scores are unaffected.
             for k, v in g[t].items():
-                matched_gts[t][f"{key}_{k}"] = v
+                matched_gts[t][f"{row}_{k}"] = v
             for k, v in p[t].items():
-                matched_preds[t][f"{key}_{k}"] = v
+                matched_preds[t][f"{row}_{k}"] = v
 
         para_preds.append(" ".join(pred_caps))
         para_gts.append([" ".join(gt_caps)])

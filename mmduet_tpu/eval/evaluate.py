@@ -71,9 +71,6 @@ def main(argv=None):
                 json.dump({"scores": m}, open(args.output_file, "w"), indent=2)
             return
         results = evaluate_grounding(preds, golds)
-        for r in results:
-            if r["threshold"] == "oracle":
-                continue
         best = best_result(results)
         m = best["scores"]
         print(

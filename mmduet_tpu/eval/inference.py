@@ -397,8 +397,14 @@ def _run_offline_baseline(args) -> None:
                 continue
             runner.set_fps(fps=sample.fps)
             question = next(
-                t["content"] for t in sample.conversation if t["role"] == "user"
+                (t["content"] for t in sample.conversation
+                 if t["role"] == "user"),
+                None,
             )
+            if question is None:
+                print(f"skipping {sample.question_id}: no user turn",
+                      file=sys.stderr)
+                continue
             text = runner.answer(sample.frames, question)
             res = {
                 "question_id": sample.question_id,

@@ -220,6 +220,17 @@ def main(argv=None):
             v_placeholder_id=tokenizer.v_placeholder_id,
             eos_token_id=tokenizer.eos_token_id,
         )
+
+    # --bf16 false: full-f32 base params (precision-debug mode; the
+    # reference's --bf16 flag, scripts/train.sh:5). Trainable params and
+    # gradient accumulation are f32 either way; this widens the frozen
+    # base weights and therefore every activation matmul.
+    if not args.bf16:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            params,
+        )
     else:
         raise SystemExit("one of --checkpoint or --tiny_random is required")
 
@@ -330,10 +341,13 @@ def main(argv=None):
         batch = jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
         try:
             state, metrics = step_fn(state, params, batch)
+            # dispatch is async: device-side failures surface at the first
+            # blocking read, which must sit INSIDE this guard for the
+            # fault tolerance to ever catch them
+            done = int(state.step)
         except Exception as e:  # fault tolerance (reference train.py:12-20)
             print(f"step {done} failed: {type(e).__name__}: {e}; skipping")
             continue
-        done = int(state.step)
         if done % args.logging_steps == 0 or done == total_steps:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t_last

@@ -157,8 +157,13 @@ def make_train_step(
             )
         new_trainable = optax.apply_updates(state.trainable, updates)
 
-        # non-finite guard: skip the update, keep state
-        finite = jnp.isfinite(metrics["loss"])
+        # non-finite guard: skip the update, keep state. Gate on the
+        # GRADIENTS too — a finite loss with a NaN/Inf gradient (bf16
+        # overflow in the backward pass only) would otherwise poison the
+        # params and Adam state permanently while skipped_nonfinite
+        # keeps reporting 0
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(metrics["loss"]) & jnp.isfinite(grad_norm)
         new_trainable = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_trainable,
@@ -167,7 +172,7 @@ def make_train_step(
         new_opt = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         if lr_sched is not None:
             metrics["lr"] = lr_sched(state.step)

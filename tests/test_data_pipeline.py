@@ -379,3 +379,38 @@ class TestDeterministicItemRNG:
         with ThreadPoolExecutor(4) as pool:
             threaded = list(pool.map(lambda _: ds[0][0], range(8)))
         assert threaded == serial
+
+
+def test_collator_feature_mode_empty_batch():
+    """Feature-mode collator (frame_size=None) with zero frames must emit
+    a feats-shaped ``vision_feats`` (not a pixel-shaped ``frames``) so
+    grad-accum stacking sees one consistent layout; without feat_shape it
+    must refuse loudly."""
+    import pytest as _pytest
+
+    from mmduet_tpu.data.collator import Collator, stack_accum
+
+    text = TOK.apply_chat_template(
+        [{"role": "user", "content": "hi"},
+         {"role": "assistant", "content": "ok", "learn": True}],
+    )
+    sample = (text, None, [], [], [], 0)
+
+    c = Collator(TOK, seq_len=64, max_frames=4, frame_size=None,
+                 feat_shape=(9, 16))
+    b = c([sample])
+    assert "vision_feats" in b and "frames" not in b
+    assert b["vision_feats"].shape == (4, 9, 16)
+
+    # stacks with a frames-bearing feats batch of the same layout
+    feats = np.random.RandomState(0).randn(1, 9, 16).astype(np.float32)
+    text2 = TOK.apply_chat_template(
+        [{"role": "stream", "num_frames": 1},
+         {"role": "assistant", "content": "ok", "learn": True}],
+    )
+    b2 = c([(text2, feats, [], [0], [-100], 1)])
+    stacked = stack_accum([b, b2])
+    assert stacked["vision_feats"].shape == (2, 4, 9, 16)
+
+    with _pytest.raises(ValueError, match="feat_shape"):
+        Collator(TOK, seq_len=64, max_frames=4, frame_size=None)([sample])
