@@ -221,6 +221,9 @@ def main(argv=None):
             eos_token_id=tokenizer.eos_token_id,
         )
 
+    else:
+        raise SystemExit("one of --checkpoint or --tiny_random is required")
+
     # --bf16 false: full-f32 base params (precision-debug mode; the
     # reference's --bf16 flag, scripts/train.sh:5). Trainable params and
     # gradient accumulation are f32 either way; this widens the frozen
@@ -231,8 +234,6 @@ def main(argv=None):
             if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
             params,
         )
-    else:
-        raise SystemExit("one of --checkpoint or --tiny_random is required")
 
     # --- mesh & sharding -------------------------------------------------
     n_dev = len(jax.devices())
