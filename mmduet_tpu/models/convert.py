@@ -52,16 +52,17 @@ def convert_qwen2(sd: Dict[str, Any], cfg: Qwen2Config, prefix: str = "model.") 
         "input_norm": stack(p + "layers.{i}.input_layernorm.weight"),
         "post_attn_norm": stack(p + "layers.{i}.post_attention_layernorm.weight"),
         "q_proj": stack(p + "layers.{i}.self_attn.q_proj.weight", True),
-        "q_bias": stack(p + "layers.{i}.self_attn.q_proj.bias"),
         "k_proj": stack(p + "layers.{i}.self_attn.k_proj.weight", True),
-        "k_bias": stack(p + "layers.{i}.self_attn.k_proj.bias"),
         "v_proj": stack(p + "layers.{i}.self_attn.v_proj.weight", True),
-        "v_bias": stack(p + "layers.{i}.self_attn.v_proj.bias"),
         "o_proj": stack(p + "layers.{i}.self_attn.o_proj.weight", True),
         "gate_proj": stack(p + "layers.{i}.mlp.gate_proj.weight", True),
         "up_proj": stack(p + "layers.{i}.mlp.up_proj.weight", True),
         "down_proj": stack(p + "layers.{i}.mlp.down_proj.weight", True),
     }
+    if cfg.qkv_bias:  # Qwen2 family; bias-free variants omit these keys
+        layers["q_bias"] = stack(p + "layers.{i}.self_attn.q_proj.bias")
+        layers["k_bias"] = stack(p + "layers.{i}.self_attn.k_proj.bias")
+        layers["v_bias"] = stack(p + "layers.{i}.self_attn.v_proj.bias")
     return {
         "embed": _np(sd[p + "embed_tokens.weight"]),
         "layers": layers,
@@ -112,9 +113,19 @@ def convert_siglip(sd: Dict[str, Any], cfg: SiglipConfig, prefix: str = "") -> D
 
 def convert_mmduet(sd: Dict[str, Any], cfg: MMDuetConfig) -> Dict:
     """Full checkpoint (llava-OV + score heads) → MMDuet params pytree."""
+    if "lm_head.weight" in sd:
+        lm_head = _np(sd["lm_head.weight"]).T
+    elif cfg.text.tie_word_embeddings:
+        # tied checkpoints (e.g. the 0.5B family) omit lm_head.weight:
+        # the head IS the embedding matrix
+        lm_head = _np(sd["model.embed_tokens.weight"]).T
+    else:
+        raise KeyError(
+            "lm_head.weight missing and tie_word_embeddings is false"
+        )
     params = {
         "decoder": convert_qwen2(sd, cfg.text, prefix="model."),
-        "lm_head": _np(sd["lm_head.weight"]).T,
+        "lm_head": lm_head,
     }
     for head in ("informative_head", "relevance_head"):
         key = f"{head}.weight"
@@ -147,8 +158,12 @@ def convert_mmduet(sd: Dict[str, Any], cfg: MMDuetConfig) -> Dict:
     return params
 
 
+# anchored to the DECODER path ("model.layers.N"): an adapter that also
+# targets the vision tower ("...vision_tower...encoder.layers.N...") must
+# not collide with decoder layers by index — those keys fall through to
+# the strict leftover audit instead
 _LORA_PAT = re.compile(
-    r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_(A|B)\.(?:default\.)?weight"
+    r"model\.layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_(A|B)\.(?:default\.)?weight"
 )
 
 

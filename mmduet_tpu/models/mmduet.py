@@ -86,12 +86,21 @@ def spatial_pool(features: jax.Array, cfg: MMDuetConfig) -> jax.Array:
             grid.astype(jnp.float32), (N, out_side, out_side, C),
             method="bilinear", antialias=False,
         ).astype(features.dtype)
-    elif mode == "average":
+    elif mode in ("average", "max"):
+        # torch's F.avg_pool2d/max_pool2d default ceil_mode=False (the
+        # reference calls them bare): FLOOR output side, trailing rows/
+        # cols dropped — 27/4 -> 6x6, not 7x7 (only bilinear ceils)
+        out_side = side // stride
+        if out_side == 0:
+            raise ValueError(
+                f"video_pooling_stride {stride} exceeds patch grid side {side}"
+            )
         grid = grid[:, : out_side * stride, : out_side * stride]
-        pooled = grid.reshape(N, out_side, stride, out_side, stride, C).mean(axis=(2, 4))
-    elif mode == "max":
-        grid = grid[:, : out_side * stride, : out_side * stride]
-        pooled = grid.reshape(N, out_side, stride, out_side, stride, C).max(axis=(2, 4))
+        red = jnp.mean if mode == "average" else jnp.max
+        pooled = red(
+            grid.reshape(N, out_side, stride, out_side, stride, C),
+            axis=(2, 4),
+        )
     else:
         raise ValueError(f"unknown spatial_pool_mode: {mode}")
     return pooled.reshape(N, out_side * out_side, C)

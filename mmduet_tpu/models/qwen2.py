@@ -86,16 +86,17 @@ def init_qwen2_params(
         "input_norm": jnp.ones((L, h), dtype),
         "post_attn_norm": jnp.ones((L, h), dtype),
         "q_proj": dense(keys[0], (L, h, nh * hd)),
-        "q_bias": jnp.zeros((L, nh * hd), dtype),
         "k_proj": dense(keys[1], (L, h, kh * hd)),
-        "k_bias": jnp.zeros((L, kh * hd), dtype),
         "v_proj": dense(keys[2], (L, h, kh * hd)),
-        "v_bias": jnp.zeros((L, kh * hd), dtype),
         "o_proj": dense(keys[3], (L, nh * hd, h)),
         "gate_proj": dense(keys[4], (L, h, mi)),
         "up_proj": dense(keys[5], (L, h, mi)),
         "down_proj": dense(keys[6], (L, mi, h)),
     }
+    if cfg.qkv_bias:
+        layers["q_bias"] = jnp.zeros((L, nh * hd), dtype)
+        layers["k_bias"] = jnp.zeros((L, kh * hd), dtype)
+        layers["v_bias"] = jnp.zeros((L, kh * hd), dtype)
     return {
         "embed": dense(keys[7], (cfg.vocab_size, h), scale=0.02),
         "layers": layers,
@@ -222,9 +223,15 @@ def qwen2_forward(
             use_flash = (
                 B == 1
                 and jax.default_backend() == "tpu"
-                and attention_available(
-                    T, S, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-                )
+                and attention_available(S, cfg.head_dim)
+            )
+        elif use_flash and B != 1:
+            # the kernel is single-stream (it indexes q[0]/cache[0]); a
+            # batched caller forcing it would silently attend only row 0
+            # and then crash on an unrelated-looking reshape
+            raise ValueError(
+                f"use_flash=True requires batch size 1, got B={B} "
+                "(batched serving uses the GSPMD-partitionable jnp path)"
             )
         if t_real is None:
             t_real = jnp.int32(T)
@@ -269,10 +276,13 @@ def qwen2_forward(
             return out
 
         # --- attention block ---
+        qb = "q_bias" if cfg.qkv_bias else None
+        kb = "k_bias" if cfg.qkv_bias else None
+        vb = "v_bias" if cfg.qkv_bias else None
         y = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = proj("q_proj", y, "q_bias").reshape(B, T, cfg.num_heads, cfg.head_dim)
-        k = proj("k_proj", y, "k_bias").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        v = proj("v_proj", y, "v_bias").reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        q = proj("q_proj", y, qb).reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k = proj("k_proj", y, kb).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = proj("v_proj", y, vb).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

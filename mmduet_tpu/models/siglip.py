@@ -112,11 +112,6 @@ def siglip_encode(
 
     def body(h, p):
         y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
-
-        def proj(name, z, out_bias=True):
-            o = jnp.einsum("nph,ho->npo", z, p[name], preferred_element_type=jnp.float32).astype(h.dtype)
-            return o + p[name.replace("proj", "bias")].astype(h.dtype) if out_bias else o
-
         q = (jnp.einsum("nph,ho->npo", y, p["q_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
         k = (jnp.einsum("nph,ho->npo", y, p["k_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
         v = (jnp.einsum("nph,ho->npo", y, p["v_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)

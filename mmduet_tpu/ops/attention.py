@@ -39,9 +39,9 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def attention_available(T: int, S: int, num_heads: int, num_kv_heads: int,
-                        head_dim: int, block_s: int = 512) -> bool:
-    """Shape gate for the kernel path."""
+def attention_available(S: int, head_dim: int, block_s: int = 512) -> bool:
+    """Shape gate for the kernel path (the query length and head counts
+    impose no constraints — rows are padded to sublane alignment)."""
     if not _PALLAS_OK:
         return False
     return S % block_s == 0 and head_dim % 128 == 0 and S >= block_s

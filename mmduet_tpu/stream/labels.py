@@ -42,6 +42,10 @@ def get_informative_labels(conversation: Sequence[dict]) -> List[int]:
             else:
                 response_frame_num = 1
                 next_is_assistant = False
+            # faithful to the reference (`stream.py:119-135`) including
+            # its quirk: response_frame_num > num_frames yields MORE
+            # labels than frames ([0]*negative == []); dataset builders
+            # derive response_frame_num <= num_frames by construction
             labels += [0] * (n - response_frame_num)
             labels += [int(next_is_assistant)] * response_frame_num
         else:

@@ -60,7 +60,7 @@ class StreamTemplate:
         return num_frames * self.frame_num_tokens * len(self.v_placeholder)
 
 
-def _header(tpl: StreamTemplate, role: str, first: bool, stream_query: bool) -> str:
+def _header(tpl: StreamTemplate, role: str, stream_query: bool) -> str:
     """Transition string entering a turn of `role`.
 
     Byte-exact to the reference Jinja (`tokenization_live.py:36-58`,
@@ -94,7 +94,6 @@ def render_conversation(
     usage (`test/inference.py:62-63`).
     """
     parts: List[str] = []
-    first = True
     for msg in conversation:
         role = msg.get("role")
         if role is None:
@@ -102,16 +101,15 @@ def render_conversation(
         if role == "stream":
             if msg.get("num_frames", 0) <= 0:
                 continue
-            parts.append(_header(template, "stream", first, add_stream_query_prompt))
+            parts.append(_header(template, "stream", add_stream_query_prompt))
             parts.append(template.frame_placeholder * msg["num_frames"])
             parts.append(template.eos)
         elif role in ("system", "user", "assistant"):
-            parts.append(_header(template, role, first, add_stream_query_prompt))
+            parts.append(_header(template, role, add_stream_query_prompt))
             parts.append(msg["content"])
             parts.append(template.eos)
         else:
             raise ValueError(f"unknown role: {role!r}")
-        first = False
 
     if add_generation_prompt:
         parts.append(f"\n{template.bos}assistant\n")
@@ -134,15 +132,13 @@ def get_learn_ranges(
     """
     offset = 0
     out: List[range] = []
-    first = True
     for msg in conversation:
         role = msg.get("role")
         if role is None:
             continue
         if role == "stream" and msg.get("num_frames", 0) <= 0:
             continue
-        offset += len(_header(template, role, first, False))
-        first = False
+        offset += len(_header(template, role, False))
         if role == "stream":
             offset += template.stream_placeholder_len(msg["num_frames"])
         else:

@@ -266,3 +266,79 @@ class TestStepForward:
             float(out1.informative_prob[0]), float(out2.informative_prob[0]), atol=1e-5)
         np.testing.assert_allclose(
             np.asarray(out1.last_logits), np.asarray(out2.last_logits), atol=1e-4)
+
+
+class TestReviewRegressions:
+    def test_spatial_pool_avg_max_floor_mode_27_grid(self):
+        """avg/max pool the production 27x27 grid at stride 4 like the
+        reference's bare F.avg_pool2d (ceil_mode=False): 6x6=36 tokens,
+        trailing rows/cols dropped (previously crashed on reshape)."""
+        from mmduet_tpu.models.mmduet import spatial_pool
+
+        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="average")
+        r = np.random.RandomState(0)
+        feats = jnp.asarray(r.randn(2, 27 * 27, 5), jnp.float32)
+        out = spatial_pool(feats, cfg)
+        assert out.shape == (2, 36, 5)
+        grid = np.asarray(feats).reshape(2, 27, 27, 5)[:, :24, :24]
+        want = grid.reshape(2, 6, 4, 6, 4, 5).mean(axis=(2, 4))
+        np.testing.assert_allclose(np.asarray(out).reshape(2, 6, 6, 5),
+                                   want, atol=1e-5)
+
+        cfg = cfg.replace(spatial_pool_mode="max")
+        out = spatial_pool(feats, cfg)
+        want = grid.reshape(2, 6, 4, 6, 4, 5).max(axis=(2, 4))
+        np.testing.assert_allclose(np.asarray(out).reshape(2, 6, 6, 5),
+                                   want, atol=1e-5)
+
+    def test_convert_tied_embeddings(self):
+        """tie_word_embeddings checkpoints omit lm_head.weight: the head
+        is the embedding matrix."""
+        import dataclasses
+
+        from mmduet_tpu.models.convert import convert_mmduet
+
+        text = dataclasses.replace(CFG.text, tie_word_embeddings=True)
+        cfg = CFG.replace(text=text)
+        r = np.random.RandomState(1)
+        L, h = text.num_layers, text.hidden_size
+        nh, kh, hd, mi = (text.num_heads, text.num_kv_heads, text.head_dim,
+                          text.intermediate_size)
+        vh = CFG.vision.hidden_size
+        sd = {"model.embed_tokens.weight": r.randn(text.vocab_size, h).astype(np.float32),
+              "model.norm.weight": np.ones(h, np.float32),
+              "model.mm_projector.0.weight": r.randn(h, vh).astype(np.float32),
+              "model.mm_projector.0.bias": np.zeros(h, np.float32),
+              "model.mm_projector.2.weight": r.randn(h, h).astype(np.float32),
+              "model.mm_projector.2.bias": np.zeros(h, np.float32)}
+        for i in range(L):
+            p = f"model.layers.{i}."
+            sd[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+            sd[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+            for name, shape in (("self_attn.q_proj", (nh * hd, h)),
+                                ("self_attn.k_proj", (kh * hd, h)),
+                                ("self_attn.v_proj", (kh * hd, h)),
+                                ("self_attn.o_proj", (h, nh * hd)),
+                                ("mlp.gate_proj", (mi, h)),
+                                ("mlp.up_proj", (mi, h)),
+                                ("mlp.down_proj", (h, mi))):
+                sd[p + name + ".weight"] = r.randn(*shape).astype(np.float32)
+            for name, dim in (("self_attn.q_proj", nh * hd),
+                              ("self_attn.k_proj", kh * hd),
+                              ("self_attn.v_proj", kh * hd)):
+                sd[p + name + ".bias"] = np.zeros(dim, np.float32)
+        params = convert_mmduet(sd, cfg)
+        np.testing.assert_array_equal(
+            params["lm_head"], sd["model.embed_tokens.weight"].T)
+
+    def test_use_flash_forced_with_batch_raises(self):
+        from mmduet_tpu.models.qwen2 import init_kv_cache, qwen2_forward
+
+        params = init_mmduet_params(jax.random.PRNGKey(0), CFG)
+        cache = init_kv_cache(CFG.text, 2, 512)
+        emb = jnp.zeros((2, 4, CFG.text.hidden_size), jnp.float32)
+        pos = jnp.broadcast_to(jnp.arange(4)[None], (2, 4))
+        with pytest.raises(ValueError, match="batch size 1"):
+            qwen2_forward(params["decoder"], CFG.text, emb, pos,
+                          kv_cache=cache, cache_len=jnp.int32(0),
+                          use_flash=True)

@@ -63,7 +63,7 @@ def test_query_dim_tiling_matches_reference(max_block_rows):
 
 
 def test_availability_gate():
-    assert attention_available(64, 2048, 28, 4, 128)
-    assert not attention_available(64, 2049, 28, 4, 128)  # S not divisible
-    assert not attention_available(64, 2048, 28, 4, 64)  # head_dim
-    assert not attention_available(64, 256, 28, 4, 128)  # S < block
+    assert attention_available(2048, 128)
+    assert not attention_available(2049, 128)  # S not divisible
+    assert not attention_available(2048, 64)  # head_dim
+    assert not attention_available(256, 128)  # S < block
