@@ -583,6 +583,13 @@ def main():
     except Exception as e:  # OOM fallback: half depth, report honestly
         print(f"full-depth bench failed ({type(e).__name__}: {e}); "
               "falling back to 14 layers", file=sys.stderr)
+        # free the failed full-depth tree BEFORE rebuilding — both trees
+        # resident at once would OOM the fallback too
+        try:
+            del params
+        except NameError:
+            pass
+        gc.collect()
         layers = 14
         params, text, cfg = build_decoder(layers)
         lat, single = run_score(params, text, cfg)
@@ -616,6 +623,11 @@ def main():
         gc.collect()
     except Exception as e:
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:  # don't leak the ~7 GB int8 tree into later stages
+            del qparams
+        except NameError:
+            pass
+        gc.collect()
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
     except Exception as e:

@@ -45,6 +45,10 @@ body { font-family: sans-serif; margin: 2em; max-width: 900px; }
   <button type="button" id="pp" onclick="toggle()">pause</button>
 </form>
 <script>
+function esc(x) {  // chat text renders via innerHTML: escape it
+  return String(x).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+                  .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
+}
 async function poll() {
   const r = await fetch('/state'); const s = await r.json();
   const c = document.getElementById('chart').getContext('2d');
@@ -63,7 +67,7 @@ async function poll() {
   document.getElementById('fidx').textContent = n;
   document.getElementById('t').textContent = (s.time || 0).toFixed(1);
   document.getElementById('chat').innerHTML = s.chat.map(
-    m => `<div class="${m.role}"><b>[${m.time.toFixed(1)}s ${m.role}]</b> ${m.content}</div>`
+    m => `<div class="${esc(m.role)}"><b>[${m.time.toFixed(1)}s ${esc(m.role)}]</b> ${esc(m.content)}</div>`
   ).join('');
   document.getElementById('pp').textContent = s.paused ? 'resume' : 'pause';
   setTimeout(poll, 500);

@@ -47,6 +47,15 @@ def main(argv=None):
     # pauses the stream so the query lands at the intended moment
     pause_event = threading.Event()
     pause_event.set()
+    # ONE shared chat log (like the stdlib demo's self.chat): the
+    # start_chat generator and user_message run as different gradio
+    # events — a local history list in either would go stale and erase
+    # the other's entries on the next yield
+    chat_log: list = []
+    # serializes engine mutations: on gradio 4.x events run on different
+    # workers, and a submit landing mid-frame must not interleave
+    # _feed/cursor/cache updates with the streaming loop
+    engine_lock = threading.Lock()
 
     def start_chat(video_file, threshold_mode, score_heads, rm_turns,
                    threshold, frame_interval, history):
@@ -57,31 +66,36 @@ def main(argv=None):
         engine.args.stream_end_score_sum_threshold = (
             threshold if threshold_mode == "score sum" else None
         )
+        # a CLI launch in z-mode would otherwise shadow the UI-selected
+        # policy (ThresholdPolicy checks threshold_z FIRST)
+        engine.args.threshold_z = None
         engine.score_heads = list(score_heads)
-        engine.reset()
+        with engine_lock:
+            engine.reset()
         engine.set_fps(frame_interval=frame_interval)
         frames, fps, _ = decode_video(
             video_file, 1.0 / frame_interval, engine.cfg.frame_resolution,
             engine.args.max_num_frames,
         )
         engine.input_video_stream(frames)
-        history = history or []
+        chat_log.clear()
         scores = []
         while True:
             # cooperative pause: keep yielding so a single-worker gradio
             # queue can still schedule the resume event (a bare .wait()
             # would wedge the worker forever on gradio 3.x)
             while not pause_event.wait(timeout=0.2):
-                yield history, _plot(scores)
+                yield list(chat_log), _plot(scores)
             t0 = time.perf_counter()
-            res = engine.input_one_frame()
+            with engine_lock:
+                res = engine.input_one_frame()
             if res is None:
                 break
             scores.append((res["time"], res["informative_score"], res["relevance_score"]))
             if res["response"]:
-                history.append((None, f"[{res['time']:.1f}s] {res['response']}"))
+                chat_log.append((None, f"[{res['time']:.1f}s] {res['response']}"))
             time.sleep(max(0.0, frame_interval - (time.perf_counter() - t0)))
-            yield history, _plot(scores)
+            yield list(chat_log), _plot(scores)
 
     def _plot(scores):
         import matplotlib
@@ -99,9 +113,11 @@ def main(argv=None):
         return fig
 
     def user_message(msg, history):
-        engine.encode_given_query(msg)
+        with engine_lock:
+            engine.encode_given_query(msg)
+            chat_log.append((f"[{engine.video_time:.1f}s] {msg}", None))
         pause_event.set()  # resume on submit, like the reference
-        return "", (history or []) + [(f"[{engine.video_time:.1f}s] {msg}", None)]
+        return "", list(chat_log)
 
     def pause_stream():
         pause_event.clear()

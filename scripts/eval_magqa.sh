@@ -10,7 +10,7 @@
 set -eo pipefail
 
 output_dir=${OUTPUT_DIR:-outputs/mmduet}
-mkdir -p "${output_dir}/eval"
+mkdir -p "${output_dir}/eval" "${output_dir}/eval/openai"
 
 thres=0.5
 input_dir=${INPUT_DIR:-datasets/shot2story/videos}

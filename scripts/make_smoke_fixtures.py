@@ -19,6 +19,8 @@ import json
 import os
 import sys
 
+import zlib
+
 import numpy as np
 
 
@@ -27,7 +29,9 @@ def write_video(path: str, seconds: int = 8, fps: int = 10, w: int = 64, h: int 
 
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     assert writer.isOpened(), f"VideoWriter failed for {path}"
-    r = np.random.RandomState(hash(path) % 2**31)
+    # crc32, not hash(): str hashing is salted per process and
+    # would make fixture pixels differ run to run
+    r = np.random.RandomState(zlib.crc32(path.encode()) % 2**31)
     for i in range(seconds * fps):
         frame = r.randint(0, 255, (h, w, 3), np.uint8)
         writer.write(frame)

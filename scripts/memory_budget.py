@@ -20,6 +20,7 @@ Configs analyzed:
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -217,9 +218,13 @@ if __name__ == "__main__":
     has_devices = False
     try:
         spec = importlib.util.find_spec("jax")
-        if spec and os.environ.get("XLA_FLAGS", "").find(
-            "host_platform_device_count"
-        ) >= 0:
+        m = re.search(
+            r"host_platform_device_count=(\d+)",
+            os.environ.get("XLA_FLAGS", ""),
+        )
+        # the COUNT must be sufficient — a pre-existing smaller value
+        # (set for some other tool) must still trigger self-provisioning
+        if spec and m and int(m.group(1)) >= N_DEVICES:
             has_devices = True
     except Exception:
         pass

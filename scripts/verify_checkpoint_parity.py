@@ -15,7 +15,11 @@ It compares, on N seeded random prompts (and one frame-bearing prompt):
    heads read straight from the checkpoint's safetensors
    (reference `video_head_live_llava_qwen.py:77-78`);
 3. SigLIP layer(-2) features vs HF `SiglipVisionModel` rebuilt from the
-   nested `model.vision_tower.vision_tower.*` weights.
+   nested `model.vision_tower.vision_tower.*` weights;
+4. projector (mm_projector) output on those features vs a direct torch
+   matmul of the checkpoint's fc weights, plus a pooled-token-count
+   consistency check — a transposed/mis-mapped projector would otherwise
+   pass the gate and surface only as garbage scores at eval time.
 
 Exit code 0 iff every max-abs diff is within --atol. Runs on CPU (torch
 side is CPU anyway); force `MMDUET_PLATFORM=cpu` to keep JAX off the TPU
@@ -188,6 +192,37 @@ def main(argv=None):
                 params["vision"], cfg.vision, norm.astype(jnp.float32)
             ), np.float32)
             check("vision layer(-2) features", ours, hf_feats, args.atol)
+
+            # --- 4: projector + pooling on those features --------------
+            # a mis-mapped/transposed mm_projector.fc1/fc2 would otherwise
+            # pass the gate and only surface as garbage scores at eval
+            from mmduet_tpu.models import mmduet
+
+            pj = _load_hf_tensor(args.hf_dir, [
+                "model.mm_projector.0.weight", "model.mm_projector.0.bias",
+                "model.mm_projector.2.weight", "model.mm_projector.2.bias",
+            ])
+            w0, b0 = pj["model.mm_projector.0.weight"], pj["model.mm_projector.0.bias"]
+            w2, b2 = pj["model.mm_projector.2.weight"], pj["model.mm_projector.2.bias"]
+            with torch.no_grad():
+                t = torch.tensor(hf_feats) @ torch.tensor(w0).T + torch.tensor(b0)
+                t = torch.nn.functional.gelu(t)
+                hf_proj = (t @ torch.tensor(w2).T + torch.tensor(b2)).numpy()
+            ours_proj = np.asarray(
+                mmduet.project(params, jnp.asarray(hf_feats, jnp.float32)),
+                np.float32,
+            )
+            check("projector output", ours_proj, hf_proj, args.atol)
+            pooled = np.asarray(
+                mmduet.spatial_pool(
+                    jnp.asarray(ours_proj, jnp.float32), cfg
+                ),
+                np.float32,
+            )
+            assert pooled.shape[1] == cfg.frame_num_tokens, (
+                f"pooled tokens {pooled.shape[1]} != frame_num_tokens "
+                f"{cfg.frame_num_tokens}"
+            )
         else:
             print("skip vision: no nested vision tower in hf_dir")
 
