@@ -352,6 +352,55 @@ class LiveInferEngine:
         self.frame_times = [i / self.frame_fps for i in range(len(frame_embeds))]
         self._next_frame = 0
 
+    def append_frames(self, video_frames) -> None:
+        """Incrementally add frames MID-SESSION — the live-source path
+        (camera / RTSP / chunked upload), which the reference cannot do
+        (its driver requires the whole video up front,
+        `test/inference.py:196-214`). Encodes the new pixels and appends
+        to the resident embedding buffer; a subsequent `inference()` call
+        continues the same stream (same cache, clocks, policy state), so
+        chunked feeding is identical to one-shot feeding (pinned by
+        `tests/test_infer_engine.py::TestAppendFrames`)."""
+        if isinstance(video_frames, (list, tuple)):
+            video_frames = np.stack(video_frames)
+        video_frames = np.asarray(video_frames)
+        if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}"
+            )
+        base = len(self.frame_times)
+        staged = []
+        for i in range(0, video_frames.shape[0], VISION_BATCH):
+            batch = video_frames[i : i + VISION_BATCH]
+            n = batch.shape[0]
+            if n < VISION_BATCH:
+                batch = np.concatenate(
+                    [batch,
+                     np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype)]
+                )
+            staged.append((jax.device_put(batch), n))
+        chunks = [self._visual(self.params, b)[:n] for b, n in staged]
+        new = jnp.concatenate(chunks, axis=0)
+        self.frame_embeds = (
+            new if self.frame_embeds is None
+            else jnp.concatenate([self.frame_embeds, new], axis=0)
+        )
+        self.frame_times.extend(
+            (base + i) / self.frame_fps for i in range(video_frames.shape[0])
+        )
+
+    def append_frame_embeds(self, frame_embeds: jnp.ndarray) -> None:
+        """`append_frames` for pre-computed embeddings (T, ft, H)."""
+        new = jnp.asarray(frame_embeds, self.dtype)
+        base = len(self.frame_times)
+        self.frame_embeds = (
+            new if self.frame_embeds is None
+            else jnp.concatenate([self.frame_embeds, new], axis=0)
+        )
+        self.frame_times.extend(
+            (base + i) / self.frame_fps for i in range(len(new))
+        )
+
     def input_vision_feats(self, feats) -> None:
         """Pre-extracted RAW SigLIP patch features (T, P, C) — the format
         `mmduet_tpu.data.preprocess` writes (reference `.pt` feature
@@ -574,6 +623,7 @@ class LiveInferEngine:
         ]
         t_wall = time.perf_counter()
         start_frame = self._next_frame
+        lat_start = len(self.frame_latencies_ms)
         pending: Optional[Tuple[jnp.ndarray, int, float]] = None
 
         def process(scores: Dict[str, float], t: float) -> None:
@@ -615,7 +665,13 @@ class LiveInferEngine:
 
         n_frames = self._next_frame - start_frame
         total_ms = (time.perf_counter() - t_wall) * 1000
-        self.frame_latencies_ms = [total_ms / max(n_frames, 1)] * n_frames
+        # replace only THIS call's entries (single-step frames appended
+        # theirs mid-loop) with the uniform aggregate; earlier calls'
+        # entries are preserved for chunked live feeding
+        del self.frame_latencies_ms[lat_start:]
+        self.frame_latencies_ms.extend(
+            [total_ms / max(n_frames, 1)] * n_frames
+        )
         return sorted(responses, key=lambda x: x["time"])
 
     def inference(self) -> List[Dict[str, Any]]:

@@ -457,3 +457,77 @@ class TestGroundingPipelined:
                                            err_msg=ctx)
             np.testing.assert_allclose(got[2], want[2], atol=1e-6, err_msg=ctx)
             np.testing.assert_allclose(got[3], want[3], atol=1e-6, err_msg=ctx)
+
+
+class TestAppendFrames:
+    """Chunked live feeding (`append_frames` / `append_frame_embeds` +
+    repeated `inference()` calls) must equal one-shot feeding: same cache,
+    clocks, policy state, debug rows and responses."""
+
+    def _build(self, grounding):
+        return LiveInferEngine(
+            PARAMS, CFG, TOK,
+            make_args(stream_end_prob_threshold=0.5, max_new_tokens=4,
+                      grounding_mode=grounding, max_num_frames=16),
+            kv_cache_size=2048, block_frames=4,
+        )
+
+    def _norm(self, resp, eng):
+        return (
+            [(round(x["time"], 6), x["role"], x["content"]) for x in resp],
+            [round(d["time"], 6) for d in eng.debug_data_list],
+            [d["informative_score"] for d in eng.debug_data_list],
+        )
+
+    @pytest.mark.parametrize("grounding", [False, True])
+    def test_chunked_equals_one_shot(self, grounding):
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(23), (11, CFG.frame_num_tokens,
+                                     CFG.text.hidden_size)) * 0.03
+        q = [{"role": "user", "content": "and now?", "time": 2.5}]
+
+        one = self._build(grounding)
+        one.set_fps(2.0)
+        one.input_frame_embeds(embeds)
+        one.input_query_stream(list(q))
+        want = self._norm(one.inference(), one)
+
+        chunked = self._build(grounding)
+        chunked.set_fps(2.0)
+        chunked.input_frame_embeds(embeds[:4])
+        chunked.input_query_stream(list(q))
+        r1 = chunked.inference()
+        chunked.append_frame_embeds(embeds[4:9])
+        r2 = chunked.inference()
+        chunked.append_frame_embeds(embeds[9:])
+        r3 = chunked.inference()
+        # responses: user turns re-listed per call; merge assistant turns +
+        # the first call's user listing
+        merged = r1 + [x for x in r2 + r3 if x["role"] == "assistant"]
+        merged = sorted(merged, key=lambda x: x["time"])
+        got = self._norm(merged, chunked)
+        assert got[1] == want[1], "debug times diverged"
+        np.testing.assert_allclose(got[2], want[2], atol=1e-5,
+                                   err_msg="scores diverged")
+        assert got[0] == want[0], "responses diverged"
+        assert len(chunked.frame_latencies_ms) == 11
+
+    def test_append_pixels_matches_input_video_stream(self):
+        r = np.random.RandomState(5)
+        px = r.randint(0, 255, (6, 32, 32, 3), np.uint8)
+        one = self._build(True)
+        one.set_fps(2.0)
+        one.input_video_stream(px)
+        one.inference()
+
+        chunked = self._build(True)
+        chunked.set_fps(2.0)
+        chunked.append_frames(px[:2])
+        chunked.inference()
+        chunked.append_frames(px[2:])
+        chunked.inference()
+        np.testing.assert_allclose(
+            [d["informative_score"] for d in chunked.debug_data_list],
+            [d["informative_score"] for d in one.debug_data_list],
+            atol=1e-6,
+        )
