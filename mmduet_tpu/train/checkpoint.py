@@ -36,8 +36,14 @@ def save_train_state(
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    dirs = _ckpt_dirs(output_dir)
-    return dirs[-1][1] if dirs else None
+    """Newest COMPLETE checkpoint. Orbax commits atomically by renaming
+    the staged tree to ``<dir>/state``; a kill between mkdir and that
+    rename leaves ``checkpoint-N`` without ``state`` — resume must skip
+    it (and fall back to the previous step) rather than crash."""
+    for _, path in reversed(_ckpt_dirs(output_dir)):
+        if os.path.isdir(os.path.join(path, "state")):
+            return path
+    return None
 
 
 def restore_train_state(ckpt_path: str, template: Any) -> Any:

@@ -42,8 +42,9 @@ class TestLiveInferForDemo:
         assert demo.last_role == "user"
         r = demo.input_one_frame()
         assert r is not None and r["frame_idx"] == 4
+        r = demo.input_one_frame()  # 5th and last frame
+        assert r is not None and r["frame_idx"] == 5
         # stream exhausted → None
-        demo.input_one_frame()
         assert demo.input_one_frame() is None
 
     def test_matches_engine_inference_loop(self):

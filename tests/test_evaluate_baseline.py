@@ -249,8 +249,15 @@ def test_dispatcher_magqa_baseline_with_resume_and_concat(tmp_path, monkeypatch)
         assert r["answer"] == [t["content"] for t in g["answer"]]
         mat = np.asarray(r["evaluator_output"])
         assert mat.shape == (2, len(r["model_response_list"]))
-    # ungrounded pred (time -1) pairs with every span → both rows judged
-    assert all(v != 1 or True for v in np.ravel(rows[1]["evaluator_output"]))
+    # ungrounded pred (time -1) pairs with every span → EVERY cell of the
+    # matrix was judged (stub score = (len(gold)+len(pred)) % 5 + 1)
+    want = [
+        [(len(a["content"]) + len(p["content"])) % 5 + 1
+         for p in rows[1]["model_response_list"]]
+        for a in golds[1]["answer"]
+    ]
+    assert rows[1]["evaluator_output"] == want, (
+        rows[1]["evaluator_output"], want)
 
     # --- resume: prev_output_file short-circuits already-judged rows
     of2 = str(tmp_path / "judged2.jsonl")
@@ -294,7 +301,9 @@ def test_concat_pred_list_dedup_semantics():
     (call,) = judge.calls
     assert call[2] == "A Cat. a dog."
     # in-span check used time 5.0 (first turn) → judged, not default-1
-    assert out["evaluator_output"][0][0] != 1 or judge.calls
+    assert out["evaluator_output"][0][0] == (
+        (len("gold") + len("A Cat. a dog.")) % 5 + 1
+    )
 
     # same pred but first turn OUT of span → never judged (stays 1)
     judge2 = StubJudge()

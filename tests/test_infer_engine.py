@@ -113,7 +113,8 @@ class TestStreamingLoop:
     def test_reset_reusable(self):
         eng = make_engine(stream_end_prob_threshold=1.0, grounding_mode=True)
         eng.input_video_stream(FRAMES)
-        first = [d["informative_score"] for d in (eng.inference(), eng.debug_data_list)[1]]
+        eng.inference()
+        first = [d["informative_score"] for d in eng.debug_data_list]
         eng.reset()
         eng.input_video_stream(FRAMES)
         eng.inference()

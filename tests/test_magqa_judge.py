@@ -113,6 +113,32 @@ class TestHFJudge:
         assert out["evaluator_output"][0][0] in (1, 2, 3, 4, 5)
 
 
+    def test_prefix_mismatch_falls_back_without_doubling(self, judge):
+        """If the template stops rendering the cached prefix verbatim, the
+        judge must run a full uncached forward — NOT concatenate the
+        prompt twice."""
+        mangled = judge.prompt_input_ids.clone()
+        mangled[0, 0] += 1  # cached prompt no longer a render prefix
+        orig = judge.prompt_input_ids
+        judge.prompt_input_ids = mangled
+        judge.n_prefix_fallbacks = 0
+        try:
+            with pytest.warns(UserWarning, match="full forwards"):
+                ids, is_suffix = judge._fragment_ids("Q?", "g.", "p.")
+            assert not is_suffix
+            assert judge.n_prefix_fallbacks == 1
+            # full render: starts with the system turn, exactly one copy
+            text = judge.tokenizer.decode(ids[0])
+            assert text.count("Here are some examples to guide you:") == 1
+            score = judge.evaluate("Q?", "g.", "p.")
+            assert score in (1, 2, 3, 4, 5)
+            # degradation is counted per pair, warned only once
+            assert judge.n_prefix_fallbacks == 2
+        finally:
+            judge.prompt_input_ids = orig
+            judge.n_prefix_fallbacks = 0  # module-scoped fixture: leave clean
+
+
 class TestHTTPJudge:
     def test_http_backend_contract(self):
         """HTTPJudge posts {question, gold_answer, pred_answer} and reads
@@ -154,28 +180,3 @@ class TestHTTPJudge:
             }
         finally:
             srv.shutdown()
-
-
-    def test_prefix_mismatch_falls_back_without_doubling(self, judge):
-        """If the template stops rendering the cached prefix verbatim, the
-        judge must run a full uncached forward — NOT concatenate the
-        prompt twice."""
-        mangled = judge.prompt_input_ids.clone()
-        mangled[0, 0] += 1  # cached prompt no longer a render prefix
-        orig = judge.prompt_input_ids
-        judge.prompt_input_ids = mangled
-        judge.n_prefix_fallbacks = 0
-        try:
-            with pytest.warns(UserWarning, match="full forwards"):
-                ids, is_suffix = judge._fragment_ids("Q?", "g.", "p.")
-            assert not is_suffix
-            assert judge.n_prefix_fallbacks == 1
-            # full render: starts with the system turn, exactly one copy
-            text = judge.tokenizer.decode(ids[0])
-            assert text.count("Here are some examples to guide you:") == 1
-            score = judge.evaluate("Q?", "g.", "p.")
-            assert score in (1, 2, 3, 4, 5)
-            # degradation is counted per pair, warned only once
-            assert judge.n_prefix_fallbacks == 2
-        finally:
-            judge.prompt_input_ids = orig

@@ -154,13 +154,18 @@ class TestTrainStep:
             for k, v in b1.items()
         }
         s_big, m_big = step(state, PARAMS, b2)
-        # loss means differ only by micro-batch weighting; with equal-size
-        # micro-batches and per-token mean... compare updated params closely
-        d_accum = jax.tree.leaves(s_accum.trainable)[0]
-        d_big = jax.tree.leaves(s_big.trainable)[0]
         assert np.isfinite(float(m_accum["loss"]))
         assert np.isfinite(float(m_big["loss"]))
-        assert d_accum.shape == d_big.shape
+        # equal-size micro-batches with identical valid-token counts make
+        # average-of-means == mean-of-all, so the two updates must agree
+        # VALUE-wise, not just in shape
+        np.testing.assert_allclose(
+            float(m_accum["loss"]), float(m_big["loss"]), atol=1e-5)
+        for da, db in zip(jax.tree.leaves(s_accum.trainable),
+                          jax.tree.leaves(s_big.trainable)):
+            np.testing.assert_allclose(
+                np.asarray(da, np.float32), np.asarray(db, np.float32),
+                atol=2e-5, err_msg="accumulated update != big-batch update")
 
     def test_nonfinite_loss_skips_update(self):
         step, state = _make_step()
