@@ -109,3 +109,33 @@ def test_two_process_dcn_train_step():
     assert abs(w0 - single) < 5e-4, (
         f"2-process loss {w0} != single-process 4-device loss {single}"
     )
+
+
+def test_two_process_checkpoint_roundtrip(tmp_path):
+    """Multi-host checkpointing: orbax save/restore of the sharded
+    TrainState with BOTH cluster processes participating (the multi-host
+    contract — every process must join the coordinated write), bit-exact
+    roundtrip asserted inside each worker."""
+    port = _free_port()
+    out = str(tmp_path / "ck")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(port), "ckpt", out],
+            env=_env(2),
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in workers:
+        try:
+            out_text, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in workers:
+                q.kill()
+            pytest.fail("multi-host checkpoint roundtrip timed out")
+        assert p.returncode == 0, f"rc={p.returncode}\n{out_text[-3000:]}"
+        assert "ckpt roundtrip ok" in out_text
+    assert os.path.isdir(os.path.join(out, "checkpoint-7", "state"))
