@@ -80,8 +80,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help=">1 = continuous-batched serving: stream this many "
                         "samples concurrently through BatchedStreamEngine "
                         "(one weight sweep per step serves every stream; "
-                        "identical per-sample outputs). Samples are "
-                        "grouped by fps; requires a merged checkpoint "
+                        "identical per-sample outputs; per-stream "
+                        "clocks, so mixed-fps samples batch together). "
+                        "Requires a merged checkpoint "
                         "(no runtime LoRA) and --mesh_model 1")
     p.add_argument("--mesh_model", type=int, default=1,
                    help=">1 = tensor-parallel serving over this many "
@@ -306,7 +307,10 @@ def _run_batched(args) -> None:
             videos += [np.zeros(shape, np.uint8)] * pad
             convs += [[]] * pad
         engine.reset()
-        engine.frame_fps = group[0].fps
+        # per-stream clocks: samples with different fps batch together
+        engine.set_stream_fps(
+            [s.fps for s in group] + [engine.frame_fps] * pad
+        )
         t0 = time.perf_counter()
         engine.input_video_streams(videos)
         engine.input_query_streams(convs)
@@ -331,18 +335,9 @@ def _run_batched(args) -> None:
             n_done += 1
         f_out.flush()
 
-    # group by fps (the engine's video clock is shared per group), but
-    # hold at most ONE group of decoded videos in host memory: an fps
-    # change flushes the current (possibly partial) group rather than
-    # accumulating per-fps buckets — with auto fps every sample has a
-    # unique rate and unbounded buckets would retain every decoded video
-    if args.frame_fps <= 0:
-        print(
-            "warning: --batch_streams with auto fps (--frame_fps<=0) "
-            "degrades to one-sample groups with idle pad lanes; use a "
-            "fixed fps for real batching",
-            file=sys.stderr,
-        )
+    # streams keep per-sample clocks (set_stream_fps), so ANY B samples
+    # batch together — no fps grouping, auto-fps included; at most one
+    # group of decoded videos is held in host memory
     group: list = []
     with open(args.output_fname, "w") as f_out:
         for sample in samples:
@@ -350,9 +345,6 @@ def _run_batched(args) -> None:
                 print(f"skipping {sample.question_id}: {sample.error}",
                       file=sys.stderr)
                 continue
-            if group and sample.fps != group[0].fps:
-                flush_group(group, f_out)
-                group = []
             group.append(sample)
             if len(group) == B:
                 flush_group(group, f_out)

@@ -68,7 +68,9 @@ class BatchedStreamScorer:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.B = n_streams
-        self.frame_fps = frame_fps
+        # non-positive = the CLI's auto sentinel; real per-stream rates
+        # arrive via set_stream_fps
+        self.frame_fps = frame_fps if frame_fps > 0 else 1.0
         self.block_frames = block_frames
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
         from ..config import DEFAULT_SYSTEM_PROMPT
@@ -415,6 +417,10 @@ class BatchedStreamEngine(BatchedStreamScorer):
     def reset(self):
         super().reset()
         B = self.B
+        # per-stream clocks: every fps-dependent quantity is host-side
+        # scalar math, so streams may run at DIFFERENT rates (the
+        # single-engine protocol sets fps per video)
+        self._fps = np.full((B,), float(self.frame_fps))
         # authoritative HOST cursors (device calls take them as operands)
         self._cur = np.zeros((B,), np.int64)
         self._next_b = np.zeros((B,), np.int64)
@@ -430,6 +436,13 @@ class BatchedStreamEngine(BatchedStreamScorer):
         self.debug_data_lists: List[List[Dict[str, float]]] = [
             [] for _ in range(B)
         ]
+
+    def set_stream_fps(self, fps: Sequence[float]) -> None:
+        """Per-stream frame rates (engine `set_fps` per lane). Call after
+        `reset()` and before feeding."""
+        fps = np.asarray(fps, float)
+        assert fps.shape == (self.B,) and (fps > 0).all()
+        self._fps = fps
 
     def input_query_streams(self, conversations: Sequence[Sequence[dict]]) -> None:
         """Per-stream conversations; user turns become timed queries
@@ -610,7 +623,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         assert self._frame_embeds is not None, "input video streams first"
         B, K = self.B, self.block_frames
         ft = self.cfg.frame_num_tokens
-        interval = 1.0 / self.frame_fps
+        interval = 1.0 / self._fps  # (B,) per-stream clocks
         responses: List[List[Dict[str, Any]]] = [
             [{"time": t, "content": q, "role": "user"} for t, q in self._queues[b]]
             for b in range(B)
@@ -623,7 +636,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             n = min(K, remaining(b))
             if self._queues[b]:
                 q_time = self._queues[b][0][0]
-                free = int(np.ceil((q_time - self._vt[b]) / interval - 1e-9))
+                free = int(np.ceil((q_time - self._vt[b]) / interval[b] - 1e-9))
                 n = min(n, max(free, 0))
             return n
 
@@ -718,7 +731,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                             self._next_b[b] -= k_back
                         to_gen.append(b)
                         break
-                    self._vt[b] += interval
+                    self._vt[b] += interval[b]
 
             # (4) batched generation for every triggered lane
             if to_gen:
@@ -728,6 +741,6 @@ class BatchedStreamEngine(BatchedStreamScorer):
                         {"time": self._vt[b], "content": texts[b],
                          "role": "assistant"}
                     )
-                    self._vt[b] += interval
+                    self._vt[b] += interval[b]
 
         return [sorted(r, key=lambda x: x["time"]) for r in responses]

@@ -230,6 +230,11 @@ class LiveInferEngine:
 
     def set_fps(self, fps: Optional[float] = None, frame_interval: Optional[float] = None):
         assert (fps is None) != (frame_interval is None)
+        if fps is not None and fps <= 0:
+            # 'auto' sentinel (--frame_fps 0): the driver sets the real
+            # per-sample rate later via set_fps(sample.fps); placeholder
+            # until then instead of dividing by zero at engine build
+            fps = 1.0
         self.frame_fps = fps if fps is not None else 1.0 / frame_interval
         self.frame_interval = 1.0 / self.frame_fps
 

@@ -293,9 +293,11 @@ class TestBatchedFuzzInterleavings:
         for seed in range(60):
             r = np.random.RandomState(2000 + seed)
             lengths = r.randint(3, MAXF + 1, size=B)
+            # per-stream clocks: streams at different frame rates
+            fps = r.choice([1.0, 2.0, 2.5], size=B)
             convs = []
             for b in range(B):
-                dur = lengths[b] / 2.0
+                dur = lengths[b] / fps[b]
                 convs.append(sorted(
                     (
                         {"role": "user", "content": f"s{b}q{i}?",
@@ -322,13 +324,14 @@ class TestBatchedFuzzInterleavings:
                 eng.args.threshold_z = z_thr
                 eng.args.remove_assistant_turns = remove
             be.reset()
+            be.set_stream_fps(fps)
             be.input_frame_embeds(embeds_all, lengths=lengths)
             be.input_query_streams(convs)
             got_resp = be.stream_all()
 
             for b in range(B):
                 single.reset()
-                single.set_fps(2.0)
+                single.set_fps(float(fps[b]))
                 single.input_frame_embeds(embeds_all[b, : lengths[b]])
                 single.input_query_stream(convs[b])
                 want = norm(single.inference(), single.debug_data_list)
@@ -366,3 +369,54 @@ def test_batched_prewarm_then_session_matches_cold():
     want = run(build())
     assert got[0] == want[0]
     assert got[1] == want[1]
+
+
+def test_cli_batched_auto_fps_mixed_rates(tmp_path):
+    """Auto fps (--frame_fps 0) gives every sample its own rate; with
+    per-stream clocks they still batch together and match the sequential
+    driver exactly."""
+    import cv2
+    import json
+
+    from mmduet_tpu.eval.inference import main as infer_main
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    r = np.random.RandomState(2)
+    anno = []
+    for i, (name, nf) in enumerate((("a.mp4", 30), ("b.mp4", 40), ("c.mp4", 50))):
+        w = cv2.VideoWriter(str(vids / name), cv2.VideoWriter_fourcc(*"mp4v"),
+                            10, (36, 28))
+        for _ in range(nf):
+            w.write(r.randint(0, 255, (28, 36, 3), np.uint8))
+        w.release()
+        anno.append({"question_id": f"q{i}", "video": name,
+                     "conversation": [{"role": "user", "content": "what?",
+                                       "time": 0}]})
+    test_f = tmp_path / "eval.json"
+    test_f.write_text(json.dumps(anno))
+
+    common = [
+        "--tiny_random", "--no_prefetch",
+        "--input_dir", str(vids), "--test_fname", str(test_f),
+        "--frame_fps", "0", "--max_num_frames", "6",  # auto: 2 / 1.5 / 1.2 fps
+        "--stream_end_prob_threshold", "0.55",
+        "--max_new_tokens", "6", "--remove_assistant_turns", "true",
+    ]
+    seq, bat = str(tmp_path / "seq.jsonl"), str(tmp_path / "bat.jsonl")
+    infer_main(common + ["--output_fname", seq])
+    infer_main(common + ["--output_fname", bat, "--batch_streams", "3"])
+
+    seq_rows = {json.loads(l)["question_id"]: json.loads(l) for l in open(seq)}
+    bat_rows = {json.loads(l)["question_id"]: json.loads(l) for l in open(bat)}
+    assert set(seq_rows) == set(bat_rows) == {"q0", "q1", "q2"}
+    fps_seen = set()
+    for q in seq_rows:
+        s_, b_ = seq_rows[q], bat_rows[q]
+        times = [d["time"] for d in s_["debug_data"]]
+        fps_seen.add(round(times[1] - times[0], 3) if len(times) > 1 else 0)
+        assert [d["time"] for d in b_["debug_data"]] == times
+        for ds, db in zip(s_["debug_data"], b_["debug_data"]):
+            assert abs(ds["informative_score"] - db["informative_score"]) <= 1e-3
+        assert b_["model_response_list"] == s_["model_response_list"], q
+    assert len(fps_seen) == 3, f"expected 3 distinct rates, saw {fps_seen}"
