@@ -169,15 +169,16 @@ def run_score(params, text, cfg):
 
     # one-deep pipelining, as the engine's grounding loop does: fetch
     # block i-1's scores AFTER dispatching block i, hiding the host
-    # round trip behind on-chip compute. Per-iteration wall therefore
-    # measures the steady-state overlapped cost.
+    # round trip behind on-chip compute. Prime the pipeline OUTSIDE the
+    # timed loop so EVERY timed iteration pays a dispatch + a sync (an
+    # unprimed first iteration would record only the async dispatch —
+    # sub-ms — and bias p50 low).
     lat, single_lat = [], []
-    pending = None
-    for _ in range(1, MAX_FRAMES // BLOCK):
+    pending, _rel, k, v, cl = frames_block(params, k, v, frames, cl)  # prime
+    for _ in range(2, MAX_FRAMES // BLOCK):
         t0 = time.perf_counter()
         inf, rel, k, v, cl = frames_block(params, k, v, frames, cl)
-        if pending is not None:
-            np.asarray(pending)  # ONE host sync per block
+        np.asarray(pending)  # ONE host sync per block
         pending = inf
         dt = (time.perf_counter() - t0) * 1000
         lat.extend([dt / BLOCK] * BLOCK)

@@ -70,15 +70,18 @@ def main(argv=None):
         # policy (ThresholdPolicy checks threshold_z FIRST)
         engine.args.threshold_z = None
         engine.score_heads = list(score_heads)
-        with engine_lock:
-            engine.reset()
-        engine.set_fps(frame_interval=frame_interval)
         frames, fps, _ = decode_video(
             video_file, 1.0 / frame_interval, engine.cfg.frame_resolution,
             engine.args.max_num_frames,
         )
-        engine.input_video_stream(frames)
-        chat_log.clear()
+        # the WHOLE session setup holds the lock: a submit landing during
+        # the multi-second reset/encode window must not interleave
+        # _feed/cursor/cache mutations with it
+        with engine_lock:
+            engine.reset()
+            engine.set_fps(frame_interval=frame_interval)
+            engine.input_video_stream(frames)
+            chat_log.clear()
         scores = []
         while True:
             # cooperative pause: keep yielding so a single-worker gradio

@@ -222,6 +222,15 @@ class LiveInferEngine:
             return mmduet.visual_embed(params, cfg, px)
 
         self._visual = _visual
+        # live-feed appender: donated buffer makes each append an
+        # in-place O(chunk) write (eager .at[].set would copy the whole
+        # buffer; repeated concatenate would be quadratic over a session)
+        self._append_upd = jax.jit(
+            lambda buf, new, i: jax.lax.dynamic_update_slice(
+                buf, new, (i, 0, 0)
+            ),
+            donate_argnums=(0,),
+        )
         self.reset()
 
     # ------------------------------------------------------------------
@@ -323,20 +332,19 @@ class LiveInferEngine:
     # inputs
     # ------------------------------------------------------------------
 
-    def input_video_stream(self, video_frames) -> None:
-        """Encode all frames on device, batched (reference batches 32 on GPU
-        then copies each frame to CPU, `inference.py:196-214`; we keep the
-        embeddings resident in HBM)."""
+    def _encode_pixels(self, video_frames) -> jnp.ndarray:
+        """Batched vision encode of uint8 (T,H,W,3) pixels -> (T, ft, H).
+
+        Enqueues ALL host->device pixel uploads first (device_put is
+        async), then dispatches the encodes: the DMA of batch i+1 overlaps
+        the vision forward of batch i instead of serializing with it —
+        on a tunneled chip the upload is a large share of encode time."""
         if isinstance(video_frames, (list, tuple)):
             video_frames = np.stack(video_frames)
         video_frames = np.asarray(video_frames)
         if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
             raise ValueError(f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}")
         T = video_frames.shape[0]
-        # enqueue ALL host->device pixel uploads first (device_put is
-        # async), then dispatch the encodes: the DMA of batch i+1 overlaps
-        # the vision forward of batch i instead of serializing with it —
-        # on a tunneled chip the upload is a large share of encode time
         staged = []
         for i in range(0, T, VISION_BATCH):
             batch = video_frames[i : i + VISION_BATCH]
@@ -347,8 +355,15 @@ class LiveInferEngine:
                 )
             staged.append((jax.device_put(batch), n))
         chunks = [self._visual(self.params, b)[:n] for b, n in staged]
-        self.frame_embeds = jnp.concatenate(chunks, axis=0)
-        self.frame_times = [i / self.frame_fps for i in range(T)]
+        return jnp.concatenate(chunks, axis=0)
+
+    def input_video_stream(self, video_frames) -> None:
+        """Encode all frames on device, batched (reference batches 32 on GPU
+        then copies each frame to CPU, `inference.py:196-214`; we keep the
+        embeddings resident in HBM)."""
+        embeds = self._encode_pixels(video_frames)
+        self.frame_embeds = embeds
+        self.frame_times = [i / self.frame_fps for i in range(len(embeds))]
         self._next_frame = 0
 
     def input_frame_embeds(self, frame_embeds: jnp.ndarray) -> None:
@@ -366,42 +381,33 @@ class LiveInferEngine:
         continues the same stream (same cache, clocks, policy state), so
         chunked feeding is identical to one-shot feeding (pinned by
         `tests/test_infer_engine.py::TestAppendFrames`)."""
-        if isinstance(video_frames, (list, tuple)):
-            video_frames = np.stack(video_frames)
-        video_frames = np.asarray(video_frames)
-        if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
-            raise ValueError(
-                f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}"
-            )
-        base = len(self.frame_times)
-        staged = []
-        for i in range(0, video_frames.shape[0], VISION_BATCH):
-            batch = video_frames[i : i + VISION_BATCH]
-            n = batch.shape[0]
-            if n < VISION_BATCH:
-                batch = np.concatenate(
-                    [batch,
-                     np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype)]
-                )
-            staged.append((jax.device_put(batch), n))
-        chunks = [self._visual(self.params, b)[:n] for b, n in staged]
-        new = jnp.concatenate(chunks, axis=0)
-        self.frame_embeds = (
-            new if self.frame_embeds is None
-            else jnp.concatenate([self.frame_embeds, new], axis=0)
-        )
-        self.frame_times.extend(
-            (base + i) / self.frame_fps for i in range(video_frames.shape[0])
-        )
+        self.append_frame_embeds(self._encode_pixels(video_frames))
 
     def append_frame_embeds(self, frame_embeds: jnp.ndarray) -> None:
-        """`append_frames` for pre-computed embeddings (T, ft, H)."""
+        """`append_frames` for pre-computed embeddings (T, ft, H).
+
+        Appends are O(chunk): the embeddings live in a preallocated
+        (max_num_frames, ft, H) buffer written in place via a donated
+        `dynamic_update_slice` (the KV cache's own pattern) — repeated
+        concatenation would copy the whole history every call, quadratic
+        over a long live session. Distinct chunk lengths each compile the
+        tiny updater once; feed fixed-size chunks for steady state."""
         new = jnp.asarray(frame_embeds, self.dtype)
         base = len(self.frame_times)
-        self.frame_embeds = (
-            new if self.frame_embeds is None
-            else jnp.concatenate([self.frame_embeds, new], axis=0)
-        )
+        cap = self.args.max_num_frames
+        if base + len(new) > cap:
+            raise ValueError(
+                f"append_frame_embeds: {base} + {len(new)} frames exceeds "
+                f"max_num_frames {cap}"
+            )
+        if self.frame_embeds is None or self.frame_embeds.shape[0] != cap:
+            buf = jnp.zeros(
+                (cap, self.cfg.frame_num_tokens, new.shape[-1]), self.dtype
+            )
+            if self.frame_embeds is not None and base:
+                buf = self._append_upd(buf, self.frame_embeds[:base], 0)
+            self.frame_embeds = buf
+        self.frame_embeds = self._append_upd(self.frame_embeds, new, base)
         self.frame_times.extend(
             (base + i) / self.frame_fps for i in range(len(new))
         )
@@ -644,12 +650,17 @@ class LiveInferEngine:
             dev, n, base_t = pending
             pending = None
             arr = np.asarray(dev)  # ONE transfer, overlapped with dispatch
+            t = base_t
             for j in range(n):
                 process(
                     {"informative_score": float(arr[0, j]),
                      "relevance_score": float(arr[1, j])},
-                    base_t + j * self.frame_interval,
+                    t,
                 )
+                # repeated addition, bit-exact with the sequential loop's
+                # per-frame accumulation (n*interval differs in the last
+                # ulps at non-dyadic fps and could flip a query-due check)
+                t += self.frame_interval
 
         while self._next_frame < len(self.frame_times):
             if self.query_queue and self.video_time >= self.query_queue[0][0]:
@@ -660,7 +671,8 @@ class LiveInferEngine:
                 dev = self._dispatch_frames_block(n)
                 drain()  # previous block: its RTT hides behind this dispatch
                 pending = (dev, n, base_t)
-                self.video_time += n * self.frame_interval
+                for _ in range(n):  # repeated addition: bit-exact clocks
+                    self.video_time += self.frame_interval
             else:
                 drain()
                 scores = self._encode_frame()

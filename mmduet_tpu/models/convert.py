@@ -335,7 +335,9 @@ def convert_hf_checkpoint(
     dtype=None,
     quantize: Optional[str] = None,
 ):
-    """Local HF llava-OV dir (+ optional PEFT adapter dir) → (params, lora).
+    """Local HF llava-OV dir (+ optional PEFT adapter dir) →
+    (cfg, params, lora) — cfg may differ from the input (qkv_bias is
+    derived from the checkpoint's actual keys).
 
     ``quantize="int8"`` applies weight-only int8 to decoder + lm_head on
     the HOST (weights are numpy at this point — no device round-trip)
@@ -346,7 +348,16 @@ def convert_hf_checkpoint(
     import numpy as _np
 
     dtype = dtype or jnp.bfloat16
-    params = convert_mmduet(load_hf_state_dict(model_dir), cfg)
+    sd = load_hf_state_dict(model_dir)
+    # qkv_bias is a checkpoint property, not an HF-config field: derive it
+    # from the actual keys so bias-free decoder variants convert cleanly
+    # (the saved config then records it for the forward pass)
+    has_bias = "model.layers.0.self_attn.q_proj.bias" in sd
+    if cfg.text.qkv_bias != has_bias:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(text=_dc.replace(cfg.text, qkv_bias=has_bias))
+    params = convert_mmduet(sd, cfg)
     if quantize == "int8":
         from .quant import quantize_params
 
@@ -378,7 +389,7 @@ def convert_hf_checkpoint(
         # fully fine-tuned modules (projector / heads) replace base weights
         for name, val in overrides.items():
             params[name] = jax.tree.map(lambda x: jnp.asarray(x, dtype), val)
-    return params, lora
+    return cfg, params, lora
 
 
 def main(argv=None):
@@ -410,7 +421,7 @@ def main(argv=None):
     with open(os.path.join(args.hf_dir, "config.json")) as f:
         cfg = config_from_hf(json.load(f))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    params, lora = convert_hf_checkpoint(
+    cfg, params, lora = convert_hf_checkpoint(
         args.hf_dir, cfg, lora_dir=args.lora_dir, dtype=dtype,
         quantize=args.quantize,
     )

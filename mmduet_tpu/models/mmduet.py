@@ -103,6 +103,15 @@ def spatial_pool(features: jax.Array, cfg: MMDuetConfig) -> jax.Array:
         )
     else:
         raise ValueError(f"unknown spatial_pool_mode: {mode}")
+    if out_side * out_side != cfg.frame_num_tokens:
+        # static shapes: this fires at trace time, LOUDLY — a mismatch
+        # would otherwise desync the engine cursor (which advances by
+        # frame_num_tokens) and the template's <image> placeholder count
+        raise ValueError(
+            f"spatial_pool ({mode}, stride {stride}) yields "
+            f"{out_side * out_side} tokens/frame but cfg.frame_num_tokens="
+            f"{cfg.frame_num_tokens}; set frame_num_tokens to match"
+        )
     return pooled.reshape(N, out_side * out_side, C)
 
 

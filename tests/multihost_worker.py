@@ -72,13 +72,34 @@ elif mode == "ckpt":
     )
     path = save_train_state(out, 7, state)
     restored = restore_train_state(path, state)
+
+    def shards_equal(a, b):
+        # sharded leaves are not fully addressable on one process —
+        # compare the process-LOCAL shards (this is exactly the data the
+        # coordinated multi-host write must have preserved per host)
+        sa = {tuple(s_.index): np.asarray(s_.data, np.float32)
+              for s_ in a.addressable_shards}
+        sb = {tuple(s_.index): np.asarray(s_.data, np.float32)
+              for s_ in b.addressable_shards}
+        assert sa.keys() == sb.keys()
+        return all(np.array_equal(sa[k], sb[k]) for k in sa)
+
+    # trainable params (replicated) AND the ZeRO-2 data-axis-sharded
+    # optimizer state — the part actually distributed across processes
     for a, b in zip(
         jax.tree.leaves(state.trainable), jax.tree.leaves(restored.trainable)
     ):
-        assert np.array_equal(
-            np.asarray(jax.device_get(a), np.float32),
-            np.asarray(jax.device_get(b), np.float32),
-        )
-    print(f"ckpt roundtrip ok proc={pid} path={path}")
+        assert shards_equal(a, b)
+    n_sharded = 0
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+    ):
+        if hasattr(a, "addressable_shards"):
+            assert shards_equal(a, b)
+            if not a.is_fully_replicated:
+                n_sharded += 1
+    assert n_sharded > 0, "no sharded opt-state leaf was compared"
+    print(f"ckpt roundtrip ok proc={pid} path={path} "
+          f"(+{n_sharded} sharded opt leaves)")
 else:
     raise SystemExit(f"unknown mode {mode}")

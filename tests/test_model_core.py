@@ -166,7 +166,8 @@ class TestVision:
         import torch.nn.functional as F
 
         x = np.random.RandomState(0).randn(2, 27 * 27, 5).astype(np.float32)
-        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="bilinear")
+        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="bilinear",
+                          frame_num_tokens=49)
         ours = np.asarray(spatial_pool(jnp.array(x), cfg))
         t = torch.tensor(x).view(2, 27, 27, 5).permute(0, 3, 1, 2)
         ref = F.interpolate(t, size=(7, 7), mode="bilinear")
@@ -176,7 +177,8 @@ class TestVision:
     @pytest.mark.parametrize("mode", ["average", "max"])
     def test_pool_modes(self, mode):
         x = jnp.ones((1, 16, 3))
-        cfg = CFG.replace(video_pooling_stride=2, spatial_pool_mode=mode)
+        cfg = CFG.replace(video_pooling_stride=2, spatial_pool_mode=mode,
+                          frame_num_tokens=4)
         out = spatial_pool(x, cfg)
         assert out.shape == (1, 4, 3)
         np.testing.assert_allclose(out, 1.0)
@@ -275,7 +277,8 @@ class TestReviewRegressions:
         trailing rows/cols dropped (previously crashed on reshape)."""
         from mmduet_tpu.models.mmduet import spatial_pool
 
-        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="average")
+        cfg = CFG.replace(video_pooling_stride=4, spatial_pool_mode="average",
+                          frame_num_tokens=36)  # floor mode: 6x6
         r = np.random.RandomState(0)
         feats = jnp.asarray(r.randn(2, 27 * 27, 5), jnp.float32)
         out = spatial_pool(feats, cfg)
