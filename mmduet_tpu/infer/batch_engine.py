@@ -42,6 +42,7 @@ from .state import (
     frame_joiner_ids,
     pad_chunk,
     pick_bucket,
+    staged_visual_encode,
     validate_threshold_args,
 )
 
@@ -68,8 +69,8 @@ class BatchedStreamScorer:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.B = n_streams
-        # non-positive = the CLI's auto sentinel; real per-stream rates
-        # arrive via set_stream_fps
+        # non-positive = the CLI's auto sentinel (real per-stream rates
+        # then arrive via set_stream_fps, defined below)
         self.frame_fps = frame_fps if frame_fps > 0 else 1.0
         self.block_frames = block_frames
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
@@ -133,6 +134,18 @@ class BatchedStreamScorer:
         self._frame_embeds: Optional[jnp.ndarray] = None
         self._lengths: Optional[np.ndarray] = None
         self._next = 0
+        # per-stream clocks (every fps-dependent quantity is host-side
+        # scalar math); real rates arrive via set_stream_fps
+        self._fps = np.full((self.B,), float(self.frame_fps))
+        # host-side upper bound on the per-stream cursors, for capacity
+        # checks (dynamic_update_slice would silently clamp on overflow)
+        self._max_cursor = 0
+
+    def set_stream_fps(self, fps: Sequence[float]) -> None:
+        """Per-stream frame rates. Call after `reset()`, before feeding."""
+        fps = np.asarray(fps, float)
+        assert fps.shape == (self.B,) and (fps > 0).all()
+        self._fps = fps
 
     def start_sessions(self, queries: Sequence[Optional[str]]) -> None:
         """Feed each stream's prefix — the exact token stream
@@ -164,6 +177,12 @@ class BatchedStreamScorer:
             pad_chunk(self._embed_ids(ids), bucket) for ids in per_stream
         ])
         t_real = jnp.asarray([len(ids) for ids in per_stream], jnp.int32)
+        self._max_cursor += bucket  # bucket-wide writes: the overflow bound
+        if self._max_cursor > self._cache_size:
+            raise RuntimeError(
+                f"KV cache overflow: prefixes need {self._max_cursor} slots "
+                f"> capacity {self._cache_size}. Raise kv_cache_size."
+            )
         self._k, self._v, self._cursor = self._prefix_b(
             self.params, embeds, self._k, self._v, self._cursor, t_real
         )
@@ -179,18 +198,9 @@ class BatchedStreamScorer:
         )
         for b, vframes in enumerate(videos):
             all_px[b * T : b * T + len(vframes)] = vframes
-        staged = []
-        for i in range(0, len(all_px), VISION_BATCH):
-            batch = all_px[i : i + VISION_BATCH]
-            n = batch.shape[0]
-            if n < VISION_BATCH:
-                batch = np.concatenate([
-                    batch,
-                    np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype),
-                ])
-            staged.append((jax.device_put(batch), n))
-        chunks = [self._visual(self.params, b)[:n] for b, n in staged]
-        flat = jnp.concatenate(chunks, axis=0)
+        flat = staged_visual_encode(
+            self._visual, self.params, all_px, VISION_BATCH
+        )
         self._frame_embeds = flat.reshape(
             self.B, T, self.cfg.frame_num_tokens, -1
         )
@@ -239,13 +249,20 @@ class BatchedStreamScorer:
                     if t_idx >= self._lengths[b]:
                         continue  # stream b already ended: padded garbage
                     out[b].append({
-                        "time": t_idx / self.frame_fps,
+                        "time": t_idx / self._fps[b],
                         "informative_score": float(inf[b, j]),
                         "relevance_score": float(rel[b, j]),
                     })
 
+        ft = self.cfg.frame_num_tokens
         while self._next < T:
             n = min(self.block_frames, T - self._next)
+            self._max_cursor += n * ft
+            if self._max_cursor > self._cache_size:
+                raise RuntimeError(
+                    f"KV cache overflow: cursor bound {self._max_cursor} > "
+                    f"capacity {self._cache_size}. Raise kv_cache_size."
+                )
             frames = self._frame_embeds[:, self._next : self._next + n]
             dev, self._k, self._v, self._cursor = self._block_b(
                 self.params, frames, self._k, self._v, self._cursor
@@ -417,10 +434,6 @@ class BatchedStreamEngine(BatchedStreamScorer):
     def reset(self):
         super().reset()
         B = self.B
-        # per-stream clocks: every fps-dependent quantity is host-side
-        # scalar math, so streams may run at DIFFERENT rates (the
-        # single-engine protocol sets fps per video)
-        self._fps = np.full((B,), float(self.frame_fps))
         # authoritative HOST cursors (device calls take them as operands)
         self._cur = np.zeros((B,), np.int64)
         self._next_b = np.zeros((B,), np.int64)
@@ -437,12 +450,18 @@ class BatchedStreamEngine(BatchedStreamScorer):
             [] for _ in range(B)
         ]
 
-    def set_stream_fps(self, fps: Sequence[float]) -> None:
-        """Per-stream frame rates (engine `set_fps` per lane). Call after
-        `reset()` and before feeding."""
-        fps = np.asarray(fps, float)
-        assert fps.shape == (self.B,) and (fps > 0).all()
-        self._fps = fps
+    def start_sessions(self, queries):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "BatchedStreamEngine tracks host-side cursors; time-0 queries "
+            "go through input_query_streams + stream_all (the inherited "
+            "device-cursor API would silently desync)"
+        )
+
+    def score_all(self):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "BatchedStreamEngine streams via stream_all(); score_all is "
+            "the lockstep BatchedStreamScorer API"
+        )
 
     def input_query_streams(self, conversations: Sequence[Sequence[dict]]) -> None:
         """Per-stream conversations; user turns become timed queries

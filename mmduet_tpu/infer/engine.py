@@ -48,6 +48,7 @@ from .state import (
     frame_joiner_ids,
     pad_chunk,
     pick_bucket,
+    staged_visual_encode,
     validate_threshold_args,
 )
 
@@ -267,7 +268,6 @@ class LiveInferEngine:
         self._pending_ids: List[int] = []
         self.debug_data_list: List[Dict[str, Any]] = []
         self.frame_latencies_ms: List[float] = []
-        self.num_frames_no_reply = 0
         self._policy = ThresholdPolicy(self.args)
         self._pen_mask = jnp.zeros((self.cfg.text.vocab_size,), bool)
 
@@ -333,29 +333,11 @@ class LiveInferEngine:
     # ------------------------------------------------------------------
 
     def _encode_pixels(self, video_frames) -> jnp.ndarray:
-        """Batched vision encode of uint8 (T,H,W,3) pixels -> (T, ft, H).
-
-        Enqueues ALL host->device pixel uploads first (device_put is
-        async), then dispatches the encodes: the DMA of batch i+1 overlaps
-        the vision forward of batch i instead of serializing with it —
-        on a tunneled chip the upload is a large share of encode time."""
-        if isinstance(video_frames, (list, tuple)):
-            video_frames = np.stack(video_frames)
-        video_frames = np.asarray(video_frames)
-        if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
-            raise ValueError(f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}")
-        T = video_frames.shape[0]
-        staged = []
-        for i in range(0, T, VISION_BATCH):
-            batch = video_frames[i : i + VISION_BATCH]
-            n = batch.shape[0]
-            if n < VISION_BATCH:  # pad to the single compiled batch shape
-                batch = np.concatenate(
-                    [batch, np.zeros((VISION_BATCH - n, *batch.shape[1:]), batch.dtype)]
-                )
-            staged.append((jax.device_put(batch), n))
-        chunks = [self._visual(self.params, b)[:n] for b, n in staged]
-        return jnp.concatenate(chunks, axis=0)
+        """Batched vision encode of uint8 (T,H,W,3) pixels -> (T, ft, H)
+        with overlapped uploads (`state.staged_visual_encode`)."""
+        return staged_visual_encode(
+            self._visual, self.params, video_frames, VISION_BATCH
+        )
 
     def input_video_stream(self, video_frames) -> None:
         """Encode all frames on device, batched (reference batches 32 on GPU
@@ -492,7 +474,6 @@ class LiveInferEngine:
         inf, rel = map(float, np.asarray(probs))  # host sync: ONE transfer
         self.frame_latencies_ms.append((time.perf_counter() - t0) * 1000)
         self.frame_idx += 1
-        self.num_frames_no_reply += 1
         self.last_role = "stream"
         return {"informative_score": inf, "relevance_score": rel}
 
@@ -514,7 +495,6 @@ class LiveInferEngine:
         self.state.cursor += n * ft
         self._next_frame += n
         self.frame_idx += n
-        self.num_frames_no_reply += n
         self.last_role = "stream"
         return scores
 
@@ -540,7 +520,6 @@ class LiveInferEngine:
         self.state.cursor -= k * ft
         self._next_frame -= k
         self.frame_idx -= k
-        self.num_frames_no_reply -= k
         del self.frame_latencies_ms[-k:]
 
     def _encode_query(self) -> None:
@@ -578,7 +557,6 @@ class LiveInferEngine:
             self.state.cursor = int(cursor)
             self._pending_ids = [int(token_ids[-1])] if n else []
         response = self.tokenizer.decode(token_ids, skip_special_tokens=True)
-        self.num_frames_no_reply = 0
         self.last_role = "assistant"
         return response
 

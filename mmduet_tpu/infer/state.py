@@ -44,6 +44,39 @@ def pad_chunk(embeds: jnp.ndarray, bucket: int) -> jnp.ndarray:
     )
 
 
+def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32):
+    """Batched vision encode of uint8 (T,H,W,3) pixels via ``visual_fn``
+    (a jitted pixels->embeddings function), shared by the single-stream
+    engine and the batched scorer.
+
+    Enqueues ALL host->device uploads first (device_put is async) so the
+    DMA of batch i+1 overlaps the vision forward of batch i — on a
+    tunneled chip the upload is a large share of encode time. The last
+    batch pads to the single compiled batch shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if isinstance(video_frames, (list, tuple)):
+        video_frames = np.stack(video_frames)
+    video_frames = np.asarray(video_frames)
+    if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
+        raise ValueError(
+            f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}"
+        )
+    staged = []
+    for i in range(0, video_frames.shape[0], batch):
+        chunk = video_frames[i : i + batch]
+        n = chunk.shape[0]
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, *chunk.shape[1:]), chunk.dtype)]
+            )
+        staged.append((jax.device_put(chunk), n))
+    chunks = [visual_fn(params, b)[:n] for b, n in staged]
+    return jnp.concatenate(chunks, axis=0)
+
+
 def validate_threshold_args(args) -> None:
     """Exactly one threshold mode must be set (reference
     `test/inference.py:53-54`). Shared by both engines."""
@@ -61,6 +94,24 @@ def validate_threshold_args(args) -> None:
             "stream_end_score_sum_threshold, threshold_z must be set "
             f"(got prob={args.stream_end_prob_threshold}, "
             f"sum={args.stream_end_score_sum_threshold}, z={args.threshold_z})"
+        )
+    rl = args.running_list_length
+    if (
+        args.threshold_z is not None
+        and isinstance(rl, int) and rl > 0
+        and (args.first_n_frames_no_generate or 0) > rl
+    ):
+        import warnings
+
+        # reference-faithful footgun (`test/inference.py:144-156`): the
+        # no-generate gate compares against the TRUNCATED rolling list,
+        # so first_n > running_list_length can never be satisfied and the
+        # run emits zero responses
+        warnings.warn(
+            f"threshold_z with first_n_frames_no_generate="
+            f"{args.first_n_frames_no_generate} > running_list_length={rl}: "
+            "the rolling list never reaches first_n, so generation never "
+            "triggers (the reference behaves identically)"
         )
 
 
@@ -129,7 +180,11 @@ class ThresholdPolicy:
             # adaptive: mean + z*std of the rolling window (computed BEFORE
             # appending the current score — reference inference.py:144-156)
             if len(self.prob_list) < (a.first_n_frames_no_generate or 0):
-                thr = float("inf")
+                # the reference's warmup threshold is literally 1 (not inf,
+                # `inference.py:146`): with BOTH score heads selected the
+                # summed score can exceed 1 and trigger during warmup —
+                # reproduced exactly
+                thr = 1.0
             else:
                 lst = self.prob_list
                 thr = (
