@@ -394,6 +394,52 @@ class LiveInferEngine:
             (base + i) / self.frame_fps for i in range(len(new))
         )
 
+    def stream_video(
+        self, video_frames, chunk_frames: int = 64
+    ) -> List[Dict[str, Any]]:
+        """Pixels → responses with vision/decode PIPELINING: chunk i+1's
+        pixels are uploaded + vision-encoded while the decoder streams
+        chunk i's frames (the reference — and our `input_video_stream` +
+        `inference()` split — serializes the two phases,
+        `test/inference.py:196-214,276-313`).
+
+        All device work is async from the host: the vision dispatches for
+        the NEXT chunk are enqueued before the current chunk's decode
+        blocks, so the chip's program queue interleaves upload DMA,
+        vision forwards and decode blocks with no idle phase boundary —
+        the true pixels→responses wall approaches on-chip
+        vision + decode compute instead of their wall-clock sum.
+
+        Queries must be fed (`input_query_stream`) BEFORE this call.
+        Results are identical to the one-shot path (chunked feeding is
+        pinned equal by `tests/test_infer_engine.py::TestAppendFrames`;
+        the per-chunk `inference()` calls continue one stream)."""
+        video_frames = np.asarray(video_frames)
+        # user turns are reported once up front; the per-chunk inference()
+        # calls would re-list whatever is still queued at each call
+        user_turns = [
+            {"time": t, "content": q, "role": "user"} for t, q in self.query_queue
+        ]
+        responses: List[Dict[str, Any]] = []
+
+        def run_pending(embeds) -> None:
+            self.append_frame_embeds(embeds)
+            responses.extend(
+                r for r in self.inference() if r["role"] != "user"
+            )
+
+        pending = None  # device embeddings of the chunk ahead of decode
+        for start in range(0, len(video_frames), chunk_frames):
+            embeds = self._encode_pixels(
+                video_frames[start : start + chunk_frames]
+            )  # async: upload + vision forwards enqueue, no host sync
+            if pending is not None:
+                run_pending(pending)
+            pending = embeds
+        if pending is not None:
+            run_pending(pending)
+        return sorted(responses + user_turns, key=lambda x: x["time"])
+
     def input_vision_feats(self, feats) -> None:
         """Pre-extracted RAW SigLIP patch features (T, P, C) — the format
         `mmduet_tpu.data.preprocess` writes (reference `.pt` feature

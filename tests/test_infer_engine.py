@@ -532,3 +532,51 @@ class TestAppendFrames:
             [d["informative_score"] for d in one.debug_data_list],
             atol=1e-6,
         )
+
+
+class TestStreamVideo:
+    """`stream_video` (pipelined pixels→responses) must equal the
+    sequential `input_video_stream` + `inference()` split — same scores,
+    clocks and responses — including with queries and triggers."""
+
+    def _build(self, **kw):
+        return LiveInferEngine(
+            PARAMS, CFG, TOK,
+            make_args(stream_end_prob_threshold=0.5, max_new_tokens=4,
+                      max_num_frames=16, **kw),
+            kv_cache_size=2048, block_frames=4,
+        )
+
+    def test_matches_sequential(self):
+        r = np.random.RandomState(11)
+        px = r.randint(0, 255, (11, 32, 32, 3), np.uint8)
+        q = [{"role": "user", "content": "and now?", "time": 2.5}]
+
+        one = self._build()
+        one.set_fps(2.0)
+        one.input_video_stream(px)
+        one.input_query_stream(list(q))
+        want = one.inference()
+
+        piped = self._build()
+        piped.set_fps(2.0)
+        piped.input_query_stream(list(q))
+        got = piped.stream_video(px, chunk_frames=4)
+
+        assert [(round(x["time"], 6), x["role"], x["content"]) for x in got] \
+            == [(round(x["time"], 6), x["role"], x["content"]) for x in want]
+        np.testing.assert_allclose(
+            [d["informative_score"] for d in piped.debug_data_list],
+            [d["informative_score"] for d in one.debug_data_list],
+            atol=1e-5,
+        )
+        assert [round(d["time"], 6) for d in piped.debug_data_list] \
+            == [round(d["time"], 6) for d in one.debug_data_list]
+
+    def test_no_queries(self):
+        px = np.random.RandomState(3).randint(0, 255, (5, 32, 32, 3), np.uint8)
+        eng = self._build(grounding_mode=True)
+        eng.set_fps(2.0)
+        out = eng.stream_video(px, chunk_frames=2)
+        assert out == []
+        assert len(eng.debug_data_list) == 5
