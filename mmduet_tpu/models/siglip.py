@@ -60,6 +60,18 @@ def init_siglip_params(rng: jax.Array, cfg: SiglipConfig, dtype=jnp.float32) -> 
     }
 
 
+def _mm(y: jax.Array, w, eq: str) -> jax.Array:
+    """Einsum with optional weight-only-int8 leaf (``{"qw","qs"}`` — see
+    `models/quant.py`): the int8 weight converts inside the dot's operand
+    read and the per-output-channel scale applies to the f32 accumulator."""
+    if isinstance(w, dict):
+        out = jnp.einsum(
+            eq, y, w["qw"].astype(y.dtype), preferred_element_type=jnp.float32
+        )
+        return out * w["qs"].astype(jnp.float32)
+    return jnp.einsum(eq, y, w, preferred_element_type=jnp.float32)
+
+
 def _layer_norm(x, scale, bias, eps):
     dt = x.dtype
     x = x.astype(jnp.float32)
@@ -99,8 +111,7 @@ def siglip_encode(
     N = images.shape[0]
     x = patchify(images, cfg.patch_size)
     x = (
-        jnp.einsum("npd,dh->nph", x, params["patch_embed"], preferred_element_type=jnp.float32)
-        .astype(images.dtype)
+        _mm(x, params["patch_embed"], "npd,dh->nph").astype(images.dtype)
         + params["patch_bias"].astype(images.dtype)
     )
     x = x + params["pos_embed"].astype(x.dtype)[None]
@@ -112,20 +123,20 @@ def siglip_encode(
 
     def body(h, p):
         y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
-        q = (jnp.einsum("nph,ho->npo", y, p["q_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        k = (jnp.einsum("nph,ho->npo", y, p["k_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        v = (jnp.einsum("nph,ho->npo", y, p["v_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        q = (_mm(y, p["q_proj"], "nph,ho->npo").astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        k = (_mm(y, p["k_proj"], "nph,ho->npo").astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+        v = (_mm(y, p["v_proj"], "nph,ho->npo").astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
         scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
         attn = attn.reshape(N, -1, nh * hd)
-        attn = jnp.einsum("nph,ho->npo", attn, p["o_proj"], preferred_element_type=jnp.float32).astype(h.dtype) + p["o_bias"].astype(h.dtype)
+        attn = _mm(attn, p["o_proj"], "nph,ho->npo").astype(h.dtype) + p["o_bias"].astype(h.dtype)
         h = h + attn
 
         y = _layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-        y = jnp.einsum("nph,hm->npm", y, p["fc1"], preferred_element_type=jnp.float32).astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+        y = _mm(y, p["fc1"], "nph,hm->npm").astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(h.dtype)
-        y = jnp.einsum("npm,mh->nph", y, p["fc2"], preferred_element_type=jnp.float32).astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
+        y = _mm(y, p["fc2"], "npm,mh->nph").astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
         return h + y, ()
 
     x, _ = jax.lax.scan(body, x, layer_params)

@@ -141,3 +141,42 @@ class TestQuantizedCheckpoint:
             return [d["informative_score"] for d in e.debug_data_list]
 
         np.testing.assert_allclose(scores(QPARAMS), scores(params2), atol=1e-5)
+
+
+class TestQuantizedVision:
+    """int8 SigLIP tower: numerics bounded vs bf16 all the way to the
+    score probabilities (the quantity the threshold policy consumes)."""
+
+    def test_visual_embed_close(self):
+        qv = quantize_params(PARAMS, components=("vision",))
+        px = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32, 3)) * 2 - 1
+        full = np.asarray(mmduet.visual_embed(PARAMS, CFG, px), np.float32)
+        quant = np.asarray(mmduet.visual_embed(qv, CFG, px), np.float32)
+        # relative error of the pooled frame embeddings stays small
+        denom = np.abs(full).mean()
+        assert np.abs(quant - full).mean() / denom < 0.05
+
+    def test_score_drift_bounded_end_to_end(self):
+        """Same bound the decoder quantization holds (0.03 on the score
+        probs) must hold for an int8 TOWER feeding a bf16 decoder."""
+        qv = quantize_params(PARAMS, components=("vision",))
+        px = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 3)) * 2 - 1
+        cache = init_kv_cache(CFG.text, 1, 512, jnp.float32)
+
+        def run(params):
+            emb = mmduet.visual_embed(params, CFG, px)
+            out = mmduet.step_forward(
+                params, CFG, emb.reshape(1, -1, CFG.text.hidden_size), cache,
+                jnp.int32(0), jnp.int32(emb.shape[0] * emb.shape[1]),
+                compute_lm_logits=False,
+            )
+            return float(out.informative_prob[0]), float(out.relevance_prob[0])
+
+        inf_f, rel_f = run(PARAMS)
+        inf_q, rel_q = run(qv)
+        assert abs(inf_f - inf_q) < 0.03
+        assert abs(rel_f - rel_q) < 0.03
+
+    def test_vision_footprint_halved(self):
+        qv = quantize_params(PARAMS, components=("vision",))
+        assert param_bytes(qv["vision"]) < 0.62 * param_bytes(PARAMS["vision"])
