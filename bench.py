@@ -432,6 +432,118 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     return out
 
 
+# v5e bf16 dense peak (TFLOP/s) — the MFU denominator for every stage
+PEAK_BF16_FLOPS = 197e12
+
+
+def decoder_matmul_flops_per_token(text) -> float:
+    """2 * matmul params of one decoder token pass (q/k/v/o + MLP), all
+    layers; embedding gather excluded (no FLOPs), lm_head counted by
+    callers that compute logits. Attention score/value FLOPs are context-
+    dependent and small at serving lengths (<3% at 20k ctx) — excluded,
+    which makes every reported MFU slightly conservative."""
+    h, nh, kh, hd, mi = (
+        text.hidden_size, text.num_heads, text.num_kv_heads,
+        text.head_dim, text.intermediate_size,
+    )
+    per_layer = h * nh * hd + 2 * h * kh * hd + nh * hd * h + 3 * h * mi
+    return 2.0 * text.num_layers * per_layer
+
+
+def run_train_step(layers: int, T: int = 2048, accum: int = 1):
+    """LoRA fine-tune step throughput at layer-scaled 7B shapes through
+    the REAL `train.step.make_train_step` (grad-accum scan, AdamW on
+    LoRA+projector+heads, non-finite guard, remat) — the reference
+    recipe's hot loop (`scripts/train.sh:4-9`, HF Trainer + ZeRO-2).
+
+    One v5e chip cannot hold the full-depth bf16 decoder + lm_head +
+    grads + Adam state (see docs/MEMORY_BUDGET.md — the 7B train config
+    is a v5e-8 FSDP job), so this stage runs HALF depth (14 layers) and
+    reports per-chip tokens/s and MFU, which are depth-portable: MFU is
+    utilization of the chip, and tokens/s scales ~linearly in 1/depth
+    (the driver-validated multi-chip path is `__graft_entry__
+    .dryrun_multichip`).
+
+    MFU accounting: the standard 6*N*tokens training-FLOPs convention
+    (fwd 2N + bwd 4N). With remat + mostly-frozen weights the true count
+    differs in two nearly cancelling ways: frozen matmuls skip the wgrad
+    (-2N) but remat recomputes the forward (+2N).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.config import TrainArgs
+    from mmduet_tpu.models.lora import init_lora
+    from mmduet_tpu.train.optimizer import make_optimizer
+    from mmduet_tpu.train.step import init_train_state, make_train_step
+
+    params, text, cfg = build_decoder(layers)
+    rng = jax.random.PRNGKey(2)
+    # real-shape lm_head (the LM loss path reads it) + projector (in the
+    # trainable set; unused without frames but carried by the optimizer)
+    params = dict(params)
+    params["lm_head"] = (
+        jax.random.normal(rng, (text.hidden_size, text.vocab_size),
+                          jnp.bfloat16) * 0.02
+    )
+    vh = cfg.vision.hidden_size
+    params["projector"] = {
+        "fc1": jax.random.normal(jax.random.fold_in(rng, 1),
+                                 (vh, text.hidden_size), jnp.bfloat16) * 0.02,
+        "fc1_bias": jnp.zeros((text.hidden_size,), jnp.bfloat16),
+        "fc2": jax.random.normal(jax.random.fold_in(rng, 2),
+                                 (text.hidden_size, text.hidden_size),
+                                 jnp.bfloat16) * 0.02,
+        "fc2_bias": jnp.zeros((text.hidden_size,), jnp.bfloat16),
+    }
+
+    args = TrainArgs(grad_accum_steps=accum)
+    tx, sched = make_optimizer(args, total_steps=100)
+    lora = init_lora(jax.random.fold_in(rng, 3), text, rank=args.lora_r,
+                     dtype=jnp.float32)
+    state = init_train_state(params, lora, tx)
+    step = make_train_step(cfg, args, tx, sched)
+
+    r = np.random.RandomState(0)
+    ids = r.randint(0, text.vocab_size - 2, size=(accum, 1, T))
+    labels = ids.copy()
+    labels[:, :, : T // 4] = -100  # prompt region unlearned
+    inf_lab = np.full((accum, 1, T), -100)
+    inf_lab[:, :, 48::49] = r.randint(0, 2, size=inf_lab[:, :, 48::49].shape)
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attn_mask": jnp.ones((accum, 1, T), bool),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "informative_labels": jnp.asarray(inf_lab, jnp.int32),
+        "relevance_labels": jnp.asarray(inf_lab, jnp.int32),
+    }
+
+    state, metrics = step(state, params, batch)
+    float(metrics["loss"])  # warmup/compile barrier
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = step(state, params, batch)
+        loss = float(metrics["loss"])  # value fetch = the only true barrier
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(loss), loss
+    dt = min(times)
+    tokens = accum * T
+    flops = 6.0 * (decoder_matmul_flops_per_token(text) / 2.0
+                   + text.hidden_size * text.vocab_size) * tokens
+    out = {
+        "train_layers": layers,
+        "train_seq_len": T,
+        "train_step_ms": round(dt * 1000, 1),
+        "train_tok_s": round(tokens / dt, 1),
+        "train_mfu": round(flops / dt / PEAK_BF16_FLOPS, 3),
+        "train_loss_finite": True,
+    }
+    del state, params, batch
+    return out
+
+
 def measure_rtt_ms(n: int = 20) -> float:
     """Flat dispatch + scalar-fetch round-trip of a trivial op. On a
     tunneled chip (axon) this is ~tens of ms and is a fixed additive

@@ -422,10 +422,12 @@ class LiveInferEngine:
         ]
         responses: List[Dict[str, Any]] = []
 
-        def run_pending(embeds) -> None:
+        def run_pending(embeds, drain: bool) -> None:
             self.append_frame_embeds(embeds)
+            # drain=False mid-stream: tails shorter than a block wait for
+            # the next chunk instead of degrading to single-frame steps
             responses.extend(
-                r for r in self.inference() if r["role"] != "user"
+                r for r in self.inference(drain=drain) if r["role"] != "user"
             )
 
         pending = None  # device embeddings of the chunk ahead of decode
@@ -434,10 +436,10 @@ class LiveInferEngine:
                 video_frames[start : start + chunk_frames]
             )  # async: upload + vision forwards enqueue, no host sync
             if pending is not None:
-                run_pending(pending)
+                run_pending(pending, drain=False)
             pending = embeds
         if pending is not None:
-            run_pending(pending)
+            run_pending(pending, drain=True)
         return sorted(responses + user_turns, key=lambda x: x["time"])
 
     def input_vision_feats(self, feats) -> None:
@@ -636,7 +638,7 @@ class LiveInferEngine:
             n = min(n, max(free, 0))
         return n
 
-    def _inference_grounding(self) -> List[Dict[str, Any]]:
+    def _inference_grounding(self, drain: bool = True) -> List[Dict[str, Any]]:
         """Grounding-mode streaming with one-deep block pipelining: the
         next block is dispatched BEFORE the previous block's scores are
         fetched, so the per-block host round trip hides behind on-chip
@@ -687,6 +689,14 @@ class LiveInferEngine:
                 t += self.frame_interval
 
         while self._next_frame < len(self.frame_times):
+            if not drain and (
+                len(self.frame_times) - self._next_frame < self.block_frames
+                and not (
+                    self.query_queue
+                    and self.video_time >= self.query_queue[0][0]
+                )
+            ):
+                break
             if self.query_queue and self.video_time >= self.query_queue[0][0]:
                 self._encode_query()
             n = self._block_budget()
@@ -715,7 +725,7 @@ class LiveInferEngine:
         )
         return sorted(responses, key=lambda x: x["time"])
 
-    def inference(self) -> List[Dict[str, Any]]:
+    def inference(self, drain: bool = True) -> List[Dict[str, Any]]:
         """Stream all frames; returns the time-sorted response list in the
         reference's JSONL schema (`test/inference.py:276-313` semantics).
 
@@ -723,13 +733,28 @@ class LiveInferEngine:
         query or turn-joiner interrupts; a response trigger mid-block
         rolls the un-consumed frames back (cursor rewind) so results are
         bit-identical to single-frame stepping. Grounding mode routes to
-        the pipelined loop (`_inference_grounding`)."""
+        the pipelined loop (`_inference_grounding`).
+
+        ``drain=False`` (the chunked live-feed/`stream_video` path): stop
+        once fewer than ``block_frames`` frames remain and no query is
+        due, leaving the tail for after the next `append_frame_embeds` —
+        a mid-stream chunk boundary then never degrades to single-frame
+        steps. Results are unchanged (block boundaries are score-neutral);
+        only the dispatch granularity differs."""
         if self.grounding_mode and self.pipeline_grounding:
-            return self._inference_grounding()
+            return self._inference_grounding(drain)
         responses = [
             {"time": t, "content": q, "role": "user"} for t, q in self.query_queue
         ]
         while self._next_frame < len(self.frame_times):
+            if not drain and (
+                len(self.frame_times) - self._next_frame < self.block_frames
+                and not (
+                    self.query_queue
+                    and self.video_time >= self.query_queue[0][0]
+                )
+            ):
+                break
             if self.query_queue and self.video_time >= self.query_queue[0][0]:
                 self._encode_query()
 

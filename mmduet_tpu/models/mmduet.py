@@ -276,6 +276,43 @@ def _score_output(params, last, kv_cache, compute_lm_logits):
     return StepOutput(logits, inf, rel, kv_cache)
 
 
+def chunk_scores_forward(
+    params: Params,
+    cfg: MMDuetConfig,
+    embeds: jax.Array,  # (1, T, H) one stream's (padded) chunk
+    kv_cache: KVCache,
+    cache_len: jax.Array,  # scalar int32
+    t_real: jax.Array,  # scalar int32
+    score_pos: jax.Array,  # (K,) int32 chunk-local positions to score
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_flash: Optional[bool] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One streaming chunk -> score probs at MULTIPLE chunk positions.
+
+    Generalizes `step_forward` (scores at the last real token) and
+    `frames_block_forward` (scores at fixed frame boundaries): the batched
+    engine's per-lane scheduler feeds ``[joiner/query ids + n <= K
+    frames]`` chunks whose frame-boundary positions differ per lane, and
+    reads each frame's score at its own position. Entries of ``score_pos``
+    beyond the lane's real frame count may point anywhere inside the
+    chunk — their probs are garbage the host never reads.
+
+    Returns ((2, K) stacked informative/relevance probs, updated cache).
+    """
+    B, T, H = embeds.shape
+    positions = cache_len + jnp.arange(T)[None, :].repeat(B, axis=0)
+    hidden, kv_cache = qwen2.qwen2_forward(
+        params["decoder"], cfg.text, embeds, positions,
+        kv_cache=kv_cache, cache_len=cache_len,
+        lora=lora, lora_scale=lora_scale, t_real=t_real, use_flash=use_flash,
+    )
+    sel = jnp.take(hidden[0], score_pos, axis=0)[None]  # (1, K, H)
+    inf = jax.nn.softmax(_head(params["informative_head"], sel)[0], axis=-1)[:, 1]
+    rel = jax.nn.softmax(_head(params["relevance_head"], sel)[0], axis=-1)[:, 1]
+    return jnp.stack([inf, rel]), kv_cache
+
+
 def frames_block_forward(
     params: Params,
     cfg: MMDuetConfig,
