@@ -87,6 +87,19 @@ class LiveInferEngine:
         self.lora_scale = lora_scale
         self.mesh = mesh
         model_n = mesh.shape.get("model", 1) if mesh is not None else 1
+        # Under a mesh, every chunk entering a jitted serving fn is first
+        # pinned to ONE canonical (replicated) sharding: jit caches key on
+        # input shardings, and chunk producers differ (eager embed_tokens
+        # over the vocab-sharded table, the jitted vision encode, host
+        # arrays from input_frame_embeds) — without normalization each
+        # producer would compile its own entry and prewarm() could never
+        # cover them. Chunks are <=2 MB; replication is noise.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._act_sharding = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._act_sharding = None
         # None = auto (single-chip TPU picks the pallas kernel); TP uses
         # the GSPMD-partitionable jnp attention path
         self._use_flash = False if model_n > 1 else None
@@ -118,6 +131,24 @@ class LiveInferEngine:
         V = cfg.text.vocab_size
 
         use_flash = self._use_flash
+        if mesh is not None:
+            from ..parallel.sharding import kv_cache_sharding
+
+            kv_sh = kv_cache_sharding(mesh, cfg.text.num_kv_heads)
+        else:
+            kv_sh = None
+
+        def _pin_kv(cache: KVCache) -> KVCache:
+            """Pin cache outputs to the canonical (reset) sharding so the
+            cache's sharding never drifts across the serving fns — with
+            `_norm_act` on inputs this makes every jit cache entry
+            reachable by `prewarm()` under TP."""
+            if kv_sh is None:
+                return cache
+            return KVCache(
+                jax.lax.with_sharding_constraint(cache.k, kv_sh),
+                jax.lax.with_sharding_constraint(cache.v, kv_sh),
+            )
 
         def _step(params, lora, embeds, k, v, cache_len, t_real, compute_lm):
             out = mmduet.step_forward(
@@ -125,6 +156,7 @@ class LiveInferEngine:
                 lora=lora, lora_scale=lora_scale,
                 compute_lm_logits=compute_lm, use_flash=use_flash,
             )
+            out = out._replace(kv_cache=_pin_kv(out.kv_cache))
             # both score probs stacked into ONE tiny array: the per-frame
             # host sync then pays a single device->host round trip (on a
             # tunneled chip a second scalar fetch costs a full extra RTT)
@@ -153,6 +185,7 @@ class LiveInferEngine:
                 params, cfg, frames, KVCache(k, v), cache_len,
                 lora=lora, lora_scale=lora_scale, use_flash=use_flash,
             )
+            cache = _pin_kv(cache)
             # both score vectors stacked: the host reads ONE (2, K) array
             # (a second fetch costs a full extra tunnel round trip)
             return jnp.stack([inf, rel]), cache.k, cache.v
@@ -205,6 +238,7 @@ class LiveInferEngine:
             cache, cursor, _, out_buf, n, _, pen_mask = jax.lax.while_loop(
                 cond, body, (cache, cursor, tok0, out_buf, 1, done0, pen_mask)
             )
+            cache = _pin_kv(cache)
             # tokens + n + cursor packed into ONE (max_new+2,) array — a
             # single host fetch per generation instead of two round trips
             packed = jnp.concatenate(
@@ -217,9 +251,7 @@ class LiveInferEngine:
 
         @jax.jit
         def _visual(params, pixels_u8):
-            from ..models.siglip import normalize_pixels
-
-            px = normalize_pixels(pixels_u8).astype(self.dtype)
+            px = mmduet.normalize_pixels(cfg, pixels_u8).astype(self.dtype)
             return mmduet.visual_embed(params, cfg, px)
 
         self._visual = _visual
@@ -288,18 +320,12 @@ class LiveInferEngine:
         fused frame block, the greedy-decode loop, and optionally the
         batched vision encode. Resets the engine afterwards.
 
-        Not supported under tensor-parallel serving (``mesh`` set): jit
-        caches key on input shardings and these synthetic inputs would
-        not match the mesh-sharded arrays the real stream feeds — the
-        compiles would be wasted, so this is a warned no-op there."""
-        if self.mesh is not None:
-            import warnings
-
-            warnings.warn(
-                "prewarm() is a no-op under tensor-parallel serving: "
-                "synthetic inputs would compile for the wrong shardings"
-            )
-            return
+        Under tensor-parallel serving (``mesh`` set) this works because
+        every jitted call pins its chunk input to ONE canonical sharding
+        (`_norm_act`) and pins its KV-cache output back to the reset
+        sharding (`_pin_kv`), so synthetic warm inputs hit exactly the
+        jit cache entries the live stream will — pinned by
+        `tests/test_tp_inference.py::TestTPPrewarm`."""
         H = self.cfg.text.hidden_size
         ft = self.cfg.frame_num_tokens
         zero = lambda n: jnp.zeros((n, H), self.dtype)  # noqa: E731
@@ -310,9 +336,11 @@ class LiveInferEngine:
             self._feed(zero(b))
         if block and self.block_frames >= 2:
             self.state.cursor = 0
+            frames = self._norm_act(
+                jnp.zeros((self.block_frames, ft, H), self.dtype)
+            )
             _, k, v = self._frames_block(
-                self.params, self.lora,
-                jnp.zeros((self.block_frames, ft, H), self.dtype),
+                self.params, self.lora, frames,
                 self.state.kv_cache.k, self.state.kv_cache.v, jnp.int32(0),
             )
             # the call donates the cache buffers — rebind the new ones
@@ -469,6 +497,12 @@ class LiveInferEngine:
             self.cfg.text.vocab_size,
         ).astype(self.dtype)
 
+    def _norm_act(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pin a chunk to the canonical activation sharding (no-op off-mesh)."""
+        return x if self._act_sharding is None else jax.device_put(
+            x, self._act_sharding
+        )
+
     def _feed(self, embeds: jnp.ndarray, compute_lm: bool = False):
         """Feed a (T,H) chunk: bucket-pad, run one step, advance cursor."""
         t_real = embeds.shape[0]
@@ -477,7 +511,7 @@ class LiveInferEngine:
         # dynamic_update_slice would silently clamp the start index and
         # overwrite live tail entries if the padded chunk overhangs
         self.state.check_fits(bucket)
-        embeds = pad_chunk(embeds, bucket)
+        embeds = self._norm_act(pad_chunk(embeds, bucket))
         probs, logits, k, v = self._step(
             self.params, self.lora, embeds,
             self.state.kv_cache.k, self.state.kv_cache.v,
@@ -533,7 +567,7 @@ class LiveInferEngine:
         ft = self.cfg.frame_num_tokens
         self.state.check_fits(n * ft)
         idx = self._next_frame
-        frames = self.frame_embeds[idx : idx + n]
+        frames = self._norm_act(self.frame_embeds[idx : idx + n])
         scores, k, v = self._frames_block(
             self.params, self.lora, frames,
             self.state.kv_cache.k, self.state.kv_cache.v,
@@ -582,7 +616,7 @@ class LiveInferEngine:
         self.last_role = "user"
 
     def _generate_response(self) -> str:
-        gen_embeds = self._embed_ids(self._gen_prompt_ids)
+        gen_embeds = self._norm_act(self._embed_ids(self._gen_prompt_ids))
         t_real = gen_embeds.shape[0]
         self.state.check_fits(t_real + self.args.max_new_tokens)
         pre_gen_cursor = self.state.cursor

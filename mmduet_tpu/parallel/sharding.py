@@ -166,7 +166,12 @@ def kv_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     so cache writes and attention stay local to each model shard."""
     model_n = mesh.shape[MODEL_AXIS]
     if model_n > 1 and num_kv_heads % model_n == 0:
-        return NamedSharding(mesh, P(None, None, MODEL_AXIS, None, None))
+        # no trailing Nones: GSPMD canonicalizes specs without them, and
+        # jit cache keys compare PartitionSpecs structurally — a
+        # constraint written (None, None, model, None, None) would never
+        # match the (None, None, model) the compiled fns emit, splitting
+        # every serving shape into two cache entries
+        return NamedSharding(mesh, P(None, None, MODEL_AXIS))
     return NamedSharding(mesh, P())
 
 

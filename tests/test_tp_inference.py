@@ -78,3 +78,40 @@ class TestTPServing:
         eng.inference()
         assert len(eng.debug_data_list) == len(FRAMES)
         assert all(np.isfinite(d["informative_score"]) for d in eng.debug_data_list)
+
+
+class TestTPPrewarm:
+    """`prewarm()` under a TP mesh must (a) actually compile the serving
+    shapes — a subsequent real session adds NO new jit-cache entries —
+    and (b) leave outputs identical to a cold engine."""
+
+    def _build(self):
+        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+        tp_params = shard_params(PARAMS, mesh, mode="replicate")
+        return LiveInferEngine(
+            tp_params, CFG,
+            CharTokenizer(frame_num_tokens=CFG.frame_num_tokens),
+            _args(), block_frames=4, mesh=mesh,
+        )
+
+    def test_no_recompile_after_prewarm(self):
+        warm = self._build()
+        warm.prewarm(vision=False)
+        sizes = {
+            name: getattr(warm, name)._cache_size()
+            for name in ("_step", "_frames_block", "_generate")
+        }
+        warm_out, warm_scores = _run(warm)
+        after = {
+            name: getattr(warm, name)._cache_size()
+            for name in ("_step", "_frames_block", "_generate")
+        }
+        assert after == sizes, (
+            f"real TP session recompiled after prewarm: {sizes} -> {after}"
+        )
+
+        cold = self._build()
+        cold_out, cold_scores = _run(cold)
+        np.testing.assert_allclose(warm_scores, cold_scores, atol=1e-6)
+        assert [t["content"] for t in warm_out] == \
+            [t["content"] for t in cold_out]
