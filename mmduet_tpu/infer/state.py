@@ -44,15 +44,20 @@ def pad_chunk(embeds: jnp.ndarray, bucket: int) -> jnp.ndarray:
     )
 
 
-def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32):
+def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32,
+                         upload_chunk: int = 96):
     """Batched vision encode of uint8 (T,H,W,3) pixels via ``visual_fn``
     (a jitted pixels->embeddings function), shared by the single-stream
     engine and the batched scorer.
 
-    Enqueues ALL host->device uploads first (device_put is async) so the
-    DMA of batch i+1 overlaps the vision forward of batch i — on a
-    tunneled chip the upload is a large share of encode time. The last
-    batch pads to the single compiled batch shape."""
+    Upload strategy (measured on the tunneled-TPU rig, BENCH_r04 work):
+    pixels go up in LARGE ``upload_chunk``-frame device_puts with the
+    encode dispatches of the previous chunk interleaved between them —
+    fewer transfer RPCs sustain ~40 MB/s vs ~26 MB/s for per-batch puts,
+    and interleaving beats both extremes (384 frames: 7.3 s vs 11.3 s
+    for 32-frame staged puts and 13.4 s for enqueue-everything-first).
+    Compute still runs at the single compiled ``batch`` shape via
+    on-device slices; the tail pads to a multiple of ``batch``."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,17 +69,30 @@ def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32):
         raise ValueError(
             f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}"
         )
-    staged = []
-    for i in range(0, video_frames.shape[0], batch):
-        chunk = video_frames[i : i + batch]
+    T = video_frames.shape[0]
+    upload_chunk = max(batch, (upload_chunk // batch) * batch)
+    outs = []
+
+    def encode_buf(buf):
+        for j in range(0, buf.shape[0], batch):
+            outs.append(visual_fn(params, jax.lax.slice_in_dim(buf, j, j + batch)))
+
+    pending = None  # one upload in flight ahead of its encode dispatches
+    for i in range(0, T, upload_chunk):
+        chunk = video_frames[i : i + upload_chunk]
         n = chunk.shape[0]
-        if n < batch:
+        pad = -n % batch
+        if pad:
             chunk = np.concatenate(
-                [chunk, np.zeros((batch - n, *chunk.shape[1:]), chunk.dtype)]
+                [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
             )
-        staged.append((jax.device_put(chunk), n))
-    chunks = [visual_fn(params, b)[:n] for b, n in staged]
-    return jnp.concatenate(chunks, axis=0)
+        buf = jax.device_put(chunk)
+        if pending is not None:
+            encode_buf(pending)
+        pending = buf
+    if pending is not None:
+        encode_buf(pending)
+    return jnp.concatenate(outs, axis=0)[:T]
 
 
 def validate_threshold_args(args) -> None:
