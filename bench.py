@@ -263,8 +263,9 @@ def run_generation(params, text, cfg, max_new=64):
     return max_new / min(times)
 
 
-def run_vision(batch=32):
-    """SigLIP-so400m-patch14-384 + projector + 27->7 pooling frames/s."""
+def run_vision(batch=32, quant=False):
+    """SigLIP-so400m-patch14-384 + projector + 27->7 pooling frames/s
+    (``quant=True``: the int8 weight-only tower the e2e stage serves)."""
     import jax
     import jax.numpy as jnp
 
@@ -274,6 +275,10 @@ def run_vision(batch=32):
     cfg = MMDuetConfig(v_placeholder_id=0, eos_token_id=2)
     rng = jax.random.PRNGKey(0)
     vis = siglip.init_siglip_params(rng, cfg.vision, jnp.bfloat16)
+    if quant:
+        from mmduet_tpu.models.quant import quantize_vision
+
+        vis = quantize_vision(vis)
     h, vh = cfg.text.hidden_size, cfg.vision.hidden_size
     params = {
         "vision": vis,
@@ -329,10 +334,14 @@ def hbm_probe():
 
 def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     """Single-chip fully-resident serving demo: int8 decoder + int8
-    152k lm_head + bf16 SigLIP + projector + a 400-frame KV cache in ONE
-    process, driven through the REAL `LiveInferEngine.inference()` loop:
+    152k lm_head + int8 SigLIP + projector + a 400-frame KV cache in ONE
+    process, driven through the REAL `LiveInferEngine` serving surfaces:
     pixels -> batched vision encode -> fused block scoring -> threshold
-    triggers -> greedy generation (+ rollback/joiner paths).
+    triggers -> greedy generation (+ rollback/joiner paths). Measured
+    twice: the reference-style sequential split (encode-all then stream,
+    `test/inference.py:196-214,276-313`) and the PIPELINED
+    `stream_video` path (vision of chunk i+1 overlaps decode of chunk i)
+    whose wall is the TRUE pixels->responses number.
 
     Score heads are zeroed so informative_prob == 0.5 exactly; with
     `stream_end_score_sum_threshold=24.75` the sum-threshold policy
@@ -343,6 +352,7 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     from mmduet_tpu.config import TestArgs
     from mmduet_tpu.infer.engine import LiveInferEngine
     from mmduet_tpu.models import siglip
+    from mmduet_tpu.models.quant import quantize_vision
     from mmduet_tpu.stream import CharTokenizer
 
     params, text, cfg = build_decoder_int8(layers)
@@ -350,7 +360,9 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     params["informative_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
     params["relevance_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
     rng = jax.random.PRNGKey(1)
-    params["vision"] = siglip.init_siglip_params(rng, cfg.vision, jnp.bfloat16)
+    params["vision"] = quantize_vision(
+        siglip.init_siglip_params(rng, cfg.vision, jnp.bfloat16)
+    )
     h, vh = text.hidden_size, cfg.vision.hidden_size
     params["projector"] = {
         "fc1": jax.random.normal(jax.random.fold_in(rng, 1), (vh, h), jnp.bfloat16) * 0.02,
@@ -378,22 +390,24 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
         0, 255, (n_frames, cfg.frame_resolution, cfg.frame_resolution, 3),
         np.uint8,
     )
-    # warmup: compile the hot paths (block forward, joiner step, decode
-    # loop, vision) OUTSIDE the timed region — this platform's persistent
-    # compile cache produces unstable keys across processes, so first-call
-    # compiles would otherwise dominate stream_s
+    CHUNK = 64  # stream_video pipeline chunk (2 vision batches)
+    # warmup: compile the hot paths (vision, append, block forward,
+    # joiner step, decode loop) OUTSIDE the timed region via the SAME
+    # pipelined surface — this platform's persistent compile cache
+    # produces unstable keys across processes, so first-call compiles
+    # would otherwise dominate the measured walls
     t0 = time.perf_counter()
-    engine.input_video_stream(pixels[:VISION_WARMUP])
-    # SAME query text as the measured run: a different length would pick
+    # SAME query text as the measured runs: a different length would pick
     # a different prefill bucket and leave an XLA compile (~8 s through
     # the tunnel) inside the measured stream
     engine.input_query_stream(
         [{"role": "user", "content": "What is happening?", "time": 0.0}]
     )
-    engine.inference()
+    engine.stream_video(pixels[: CHUNK + 32], chunk_frames=CHUNK)
     engine._generate_response()
     t_warmup = time.perf_counter() - t0
 
+    # (a) reference-style sequential split: encode all, then stream
     engine.reset()
     engine.set_fps(2.0)
     t0 = time.perf_counter()
@@ -410,15 +424,29 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     responses = engine.inference()
     t_stream = time.perf_counter() - t0
     n_gen = sum(1 for r in responses if r["role"] == "assistant")
+    lat = np.array(engine.frame_latencies_ms)
+
+    # (b) pipelined pixels->responses (the true e2e serving number)
+    engine.reset()
+    engine.set_fps(2.0)
+    engine.input_query_stream(
+        [{"role": "user", "content": "What is happening?", "time": 0.0}]
+    )
+    t0 = time.perf_counter()
+    responses_p = engine.stream_video(pixels, chunk_frames=CHUNK)
+    t_pipe = time.perf_counter() - t0
+    n_gen_p = sum(1 for r in responses_p if r["role"] == "assistant")
 
     peak, resident, method = hbm_probe()
-    lat = np.array(engine.frame_latencies_ms)
     out = {
         "e2e_int8_serving": {
             "frames": int(n_frames),
             "compile_warmup_s": round(t_warmup, 2),
             "vision_encode_s": round(t_vision, 2),
             "stream_s": round(t_stream, 2),
+            "sequential_total_s": round(t_vision + t_stream, 2),
+            "pipelined_s": round(t_pipe, 2),
+            "e2e_frames_s": round(n_frames / t_pipe, 1),
             "score_p50_ms_per_frame": round(float(np.percentile(lat, 50)), 2),
             "generations": int(n_gen),
             "resident_hbm_gb": resident,
@@ -428,6 +456,9 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     if peak is not None:
         out["e2e_int8_serving"]["peak_hbm_gb"] = peak
     assert n_gen >= 3, f"expected deterministic triggers, got {n_gen}"
+    assert n_gen_p == n_gen, (
+        f"pipelined/sequential diverged: {n_gen_p} vs {n_gen} generations"
+    )
     del engine, params
     return out
 
@@ -564,13 +595,18 @@ def measure_rtt_ms(n: int = 20) -> float:
     return float(np.percentile(ts, 50))
 
 
-def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
-                        n_frames: int = 48):
+def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
+                        n_frames: int = 400):
     """Continuous-batched GENERATION serving (`infer/batch_engine.py`
-    `BatchedStreamEngine`): B concurrent MAGQA-style sessions — frame
-    scoring + deterministic threshold triggers + batched greedy decode —
-    aggregate wall-clock vs one stream. Score heads zeroed (prob 0.5) +
-    sum threshold so every stream triggers every ~16 frames."""
+    `BatchedStreamEngine`) at the MAGQA PROTOCOL scale (fps 2, 400
+    frames, ~20k-slot caches — `scripts/inference/magqa.sh:9-17`): B
+    concurrent sessions — frame scoring + deterministic threshold
+    triggers + batched greedy decode — aggregate wall-clock vs one
+    stream. Score heads zeroed (prob 0.5) + sum threshold so every
+    stream triggers every ~32 frames (~12 responses per 400-frame
+    session). Warmup streams a short prefix against the SAME cache
+    shapes, so the measured run is compile-free but pays the real
+    20k-slot attention."""
     import jax
     import jax.numpy as jnp
 
@@ -586,7 +622,7 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
     tok = CharTokenizer(frame_num_tokens=cfg.frame_num_tokens)
     args = TestArgs(
         stream_end_prob_threshold=None,
-        stream_end_score_sum_threshold=7.75,  # trigger every 16 frames
+        stream_end_score_sum_threshold=15.75,  # trigger every 32 frames
         score_heads="informative_score",
         max_new_tokens=16,
         frame_fps=2.0,
@@ -594,6 +630,7 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
         remove_assistant_turns=True,
     )
     H = text.hidden_size
+    conv = [{"role": "user", "content": "what is happening?", "time": 0.0}]
     out = {}
     for B in (1, n_streams):
         eng = BatchedStreamEngine(
@@ -604,16 +641,13 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
             jax.random.PRNGKey(7), (B, n_frames, cfg.frame_num_tokens, H),
             jnp.bfloat16,
         ) * 0.02
+        # warmup: compile every chunk bucket a trigger-rollback tail can
+        # produce (1..K-1 frames -> 64..392) + the decode loop, against
+        # the SAME 20k-slot cache shapes, without streaming 400 frames
+        eng.prewarm(buckets=(16, 32, 64, 128, 192, 256, block * 49),
+                    vision=False)
         eng.input_frame_embeds(emb)
-        eng.input_query_streams(
-            [[{"role": "user", "content": "what is happening?", "time": 0.0}]] * B
-        )
-        eng.stream_all()  # warmup/compile
-        eng.reset()
-        eng.input_frame_embeds(emb)
-        eng.input_query_streams(
-            [[{"role": "user", "content": "what is happening?", "time": 0.0}]] * B
-        )
+        eng.input_query_streams([list(conv)] * B)
         t0 = time.perf_counter()
         resp = eng.stream_all()
         dt = time.perf_counter() - t0
@@ -625,7 +659,8 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
         f"triggers missing: {out}"
     )
     return {
-        f"gen_serving_b1_frames_s": round(out[1][0], 1),
+        "gen_serving_frames": n_frames,
+        "gen_serving_b1_frames_s": round(out[1][0], 1),
         f"gen_serving_b{n_streams}_frames_s": round(out[n_streams][0], 1),
         "gen_serving_scaling": round(out[n_streams][0] / out[1][0], 2),
         f"gen_serving_responses_b{n_streams}": out[n_streams][1],
@@ -633,11 +668,15 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 4,
 
 
 def run_multistream(layers: int, n_streams: int = 4, block: int = 4,
-                    n_frames: int = 64):
-    """Batched multi-stream scoring (`infer/batch_engine.py`): aggregate
+                    n_frames: int = 400):
+    """Batched multi-stream scoring (`infer/batch_engine.py`) at the
+    grounding-protocol scale (400 frames, ~20k-slot caches): aggregate
     frames/s of B concurrent sessions vs one. Small blocks are weight-
-    read-bound, so B streams share one HBM weight sweep — near-linear
-    interactive-serving scaling."""
+    read-bound, so B streams share one HBM weight sweep — the scaling
+    must survive the protocol-length cache (the flash-decode kernel's
+    cursor predication keeps attention cost tracking the LIVE cache
+    length, not the 20k-slot buffer). Warmup streams a short prefix at
+    the same cache shapes."""
     import jax
     import jax.numpy as jnp
 
@@ -654,13 +693,14 @@ def run_multistream(layers: int, n_streams: int = 4, block: int = 4,
             params, cfg, tok, n_streams=B, frame_fps=2.0,
             block_frames=block, kv_cache_size=n_frames * 49 + 512,
         )
-        scorer.start_sessions(["what is happening?"] * B)
         emb = jax.random.normal(
             jax.random.PRNGKey(7), (B, n_frames, cfg.frame_num_tokens, H),
             jnp.bfloat16,
         ) * 0.02
-        scorer.input_frame_embeds(emb)
-        scorer.score_all()  # warmup/compile
+        # warmup at the same cache shapes, short stream
+        scorer.start_sessions(["what is happening?"] * B)
+        scorer.input_frame_embeds(emb[:, : 2 * block])
+        scorer.score_all()
         scorer.reset()
         scorer.start_sessions(["what is happening?"] * B)
         scorer.input_frame_embeds(emb)
@@ -671,6 +711,7 @@ def run_multistream(layers: int, n_streams: int = 4, block: int = 4,
         del scorer
         gc.collect()
     return {
+        "multistream_frames": n_frames,
         f"multistream_b1_block{block}_frames_s": round(out[1], 1),
         f"multistream_b{n_streams}_block{block}_frames_s": round(out[n_streams], 1),
         "multistream_scaling": round(out[n_streams] / out[1], 2),
@@ -743,6 +784,7 @@ def main():
         gc.collect()
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
+        extra["vision_frames_s_int8"] = round(run_vision(quant=True), 1)
     except Exception as e:
         print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     gc.collect()
@@ -769,6 +811,15 @@ def main():
     except Exception as e:
         print(f"multistream-gen bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    gc.collect()
+
+    # training-step throughput + MFU (half depth: the full-depth bf16
+    # train state does not fit one v5e chip — docs/MEMORY_BUDGET.md)
+    try:
+        extra.update(run_train_step(min(layers, 14)))
+    except Exception as e:
+        print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    gc.collect()
 
     peak, resident, method = hbm_probe()
     if peak is not None:
@@ -785,6 +836,29 @@ def main():
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))
     single_p50 = float(np.percentile(single, 50))
+
+    # utilization (MFU) of the serving stages: fwd-only matmul FLOPs over
+    # measured walls, against the v5e bf16 dense peak. int8 serving does
+    # the same bf16 MXU work (weights convert on read), so the same
+    # numerator applies — its higher MFU reflects halved weight reads.
+    flops_frame = decoder_matmul_flops_per_token(text) * FRAME_TOKENS
+    flops_tok = decoder_matmul_flops_per_token(text) + \
+        2.0 * text.hidden_size * text.vocab_size
+    extra["mfu_block_score"] = round(
+        flops_frame / (p50 / 1000.0) / PEAK_BF16_FLOPS, 3
+    )
+    if "p50_int8_ms" in extra:
+        extra["mfu_block_score_int8"] = round(
+            flops_frame / (extra["p50_int8_ms"] / 1000.0) / PEAK_BF16_FLOPS, 3
+        )
+    if "generation_tok_s" in extra:
+        extra["mfu_decode"] = round(
+            flops_tok * extra["generation_tok_s"] / PEAK_BF16_FLOPS, 4
+        )
+    if "generation_tok_s_int8" in extra:
+        extra["mfu_decode_int8"] = round(
+            flops_tok * extra["generation_tok_s_int8"] / PEAK_BF16_FLOPS, 4
+        )
     # on-chip single-step work = measured latency minus the flat tunnel
     # round-trip every scalar readback pays in this environment
     single_onchip = max(single_p50 - extra["dispatch_rtt_ms"], 0.0)

@@ -66,6 +66,31 @@ class SiglipConfig:
 
 
 @dataclass(frozen=True)
+class ClipConfig:
+    """CLIP vision tower (reference standalone path,
+    `models/vision_live.py:34-64`). Defaults = ViT-L/14-336
+    (`openai/clip-vit-large-patch14-336`); the DataComp ViT-L/14 uses
+    image_size=224. Same field names as SiglipConfig so tower code can
+    take either."""
+
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_patches_per_side**2
+
+
+@dataclass(frozen=True)
 class MMDuetConfig:
     """Full multimodal streaming model: tower + projector + decoder + heads.
 
@@ -85,6 +110,13 @@ class MMDuetConfig:
     frame_num_tokens: int = 49  # 7x7 after pooling
     video_pooling_stride: int = 4
     spatial_pool_mode: str = "bilinear"  # average | max | bilinear
+    # vision tower architecture: "siglip" = the llava-path tower with
+    # post-projector bilinear pooling (flagship checkpoint); "clip" = the
+    # reference standalone CLIP path (`models/vision_live.py:34-64`) with
+    # tower-side adaptive pooling + the two knobs below
+    vision_arch: str = "siglip"
+    frame_token_cls: bool = False  # prepend the CLS token (clip arch)
+    frame_token_pooled: Optional[Tuple[int, int]] = None  # e.g. (7, 7)
     v_placeholder: str = "<image>"
     v_placeholder_id: int = -1  # filled in by tokenizer builder
     eos_token_id: int = -1  # filled in by tokenizer builder

@@ -113,9 +113,7 @@ class BatchedStreamScorer:
 
         @jax.jit
         def _visual(params, pixels_u8):
-            from ..models.siglip import normalize_pixels
-
-            px = normalize_pixels(pixels_u8).astype(self.dtype)
+            px = mmduet.normalize_pixels(cfg, pixels_u8).astype(self.dtype)
             return mmduet.visual_embed(params, cfg, px)
 
         self._visual = _visual

@@ -111,6 +111,56 @@ def convert_siglip(sd: Dict[str, Any], cfg: SiglipConfig, prefix: str = "") -> D
     }
 
 
+def convert_clip(sd: Dict[str, Any], cfg, prefix: str = "") -> Dict:
+    """HF CLIPVisionModel state dict → `models.clip` params (reference
+    standalone towers `laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90k` /
+    `openai/clip-vit-large-patch14-336`, `models/vision_live.py:57-64`).
+    Same layout rules as `convert_siglip`, plus the CLS embedding, the
+    (typo'd) ``pre_layrnorm`` and the pooled-CLS ``post_layernorm``; the
+    conv patch embed has no bias."""
+    L = cfg.num_layers
+    p = prefix
+
+    def stack(fmt: str, transpose: bool = False):
+        mats = []
+        for i in range(L):
+            m = _np(sd[fmt.format(i=i)])
+            mats.append(m.T if transpose else m)
+        return np.stack(mats)
+
+    conv = _np(sd[p + "embeddings.patch_embedding.weight"])  # (out, C, kh, kw)
+    patch_embed = conv.reshape(conv.shape[0], -1).T  # (C*kh*kw, out)
+    e = p + "encoder.layers.{i}."
+    layers = {
+        "ln1_scale": stack(e + "layer_norm1.weight"),
+        "ln1_bias": stack(e + "layer_norm1.bias"),
+        "ln2_scale": stack(e + "layer_norm2.weight"),
+        "ln2_bias": stack(e + "layer_norm2.bias"),
+        "q_proj": stack(e + "self_attn.q_proj.weight", True),
+        "q_bias": stack(e + "self_attn.q_proj.bias"),
+        "k_proj": stack(e + "self_attn.k_proj.weight", True),
+        "k_bias": stack(e + "self_attn.k_proj.bias"),
+        "v_proj": stack(e + "self_attn.v_proj.weight", True),
+        "v_bias": stack(e + "self_attn.v_proj.bias"),
+        "o_proj": stack(e + "self_attn.out_proj.weight", True),
+        "o_bias": stack(e + "self_attn.out_proj.bias"),
+        "fc1": stack(e + "mlp.fc1.weight", True),
+        "fc1_bias": stack(e + "mlp.fc1.bias"),
+        "fc2": stack(e + "mlp.fc2.weight", True),
+        "fc2_bias": stack(e + "mlp.fc2.bias"),
+    }
+    return {
+        "class_embed": _np(sd[p + "embeddings.class_embedding"]),
+        "patch_embed": patch_embed,
+        "pos_embed": _np(sd[p + "embeddings.position_embedding.weight"]),
+        "pre_ln_scale": _np(sd[p + "pre_layrnorm.weight"]),
+        "pre_ln_bias": _np(sd[p + "pre_layrnorm.bias"]),
+        "post_ln_scale": _np(sd[p + "post_layernorm.weight"]),
+        "post_ln_bias": _np(sd[p + "post_layernorm.bias"]),
+        "layers": layers,
+    }
+
+
 def convert_mmduet(sd: Dict[str, Any], cfg: MMDuetConfig) -> Dict:
     """Full checkpoint (llava-OV + score heads) → MMDuet params pytree."""
     if "lm_head.weight" in sd:

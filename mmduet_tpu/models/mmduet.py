@@ -125,10 +125,41 @@ def project(params: Params, features: jax.Array) -> jax.Array:
     return x.astype(features.dtype) + p["fc2_bias"].astype(features.dtype)
 
 
+def normalize_pixels(cfg: MMDuetConfig, frames_uint8: jax.Array) -> jax.Array:
+    """Arch-dispatching pixel normalization: SigLIP mean/std 0.5
+    (`models/vision_live.py:14-16`) or the OpenAI CLIP constants
+    (`vision_live.py:35-37`)."""
+    if cfg.vision_arch == "clip":
+        from . import clip
+
+        return clip.normalize_pixels(frames_uint8)
+    return siglip.normalize_pixels(frames_uint8)
+
+
 def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array) -> jax.Array:
     """Normalized pixels (N,H,W,3) → frame token embeddings
-    (N, frame_num_tokens, hidden). Order: vision → projector → pooling,
-    matching reference `LiveMixin.visual_embed` (`modeling_live.py:26-33`)."""
+    (N, frame_num_tokens, hidden).
+
+    - ``siglip`` arch (flagship llava path): vision → projector →
+      bilinear spatial pooling, matching reference `LiveMixin.visual_embed`
+      (`modeling_live.py:26-33`) over the model's own tower.
+    - ``clip`` arch (reference standalone path, `vision_live.py:34-64`):
+      tower-side adaptive pooling + optional CLS, then the projector —
+      pooling happens BEFORE the connector there, so no post-projector
+      pooling runs."""
+    if cfg.vision_arch == "clip":
+        from . import clip
+
+        feats = clip.standalone_encode(
+            params["vision"], cfg.vision, pixels,
+            cfg.frame_token_cls, cfg.frame_token_pooled,
+        )
+        if feats.shape[1] != cfg.frame_num_tokens:
+            raise ValueError(
+                f"clip tower yields {feats.shape[1]} tokens/frame but "
+                f"cfg.frame_num_tokens={cfg.frame_num_tokens}"
+            )
+        return project(params, feats)
     feats = siglip.siglip_encode(params["vision"], cfg.vision, pixels)
     feats = project(params, feats)
     return spatial_pool(feats, cfg)

@@ -264,3 +264,113 @@ class TestConvertCLI:
                                   jnp.arange(10)[None])
         ours = np.asarray(lm_logits(params["lm_head"], hidden))
         np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-3)
+
+
+class TestClipParity:
+    """CLIP tower vs HF CLIPVisionModel (reference standalone vision path,
+    `models/vision_live.py:34-64`) incl. the `frame_token_cls` /
+    `frame_token_pooled` contract with torch-exact adaptive pooling."""
+
+    def _tiny(self):
+        from transformers import CLIPVisionConfig, CLIPVisionModel
+
+        from mmduet_tpu.config import ClipConfig
+        from mmduet_tpu.models.convert import convert_clip
+
+        hf_cfg = CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=8,
+            layer_norm_eps=1e-5,
+        )
+        torch.manual_seed(3)
+        model = CLIPVisionModel(hf_cfg).eval()
+        ours = ClipConfig(
+            image_size=32, patch_size=8, hidden_size=32,
+            intermediate_size=64, num_layers=2, num_heads=2,
+        )
+        params = jax.tree.map(
+            jnp.asarray,
+            convert_clip(model.state_dict(), ours, prefix="vision_model."),
+        )
+        return model, ours, params
+
+    def test_last_hidden_state_matches_hf(self):
+        from mmduet_tpu.models.clip import clip_encode, normalize_pixels
+
+        model, ours, params = self._tiny()
+        px_u8 = np.random.RandomState(0).randint(
+            0, 255, (2, 32, 32, 3), np.uint8
+        )
+        px = normalize_pixels(jnp.asarray(px_u8))
+        with torch.no_grad():
+            hf_out = model(
+                torch.from_numpy(np.asarray(px)).permute(0, 3, 1, 2)
+            ).last_hidden_state.numpy()
+        ours_out = np.asarray(clip_encode(params, ours, px))
+        np.testing.assert_allclose(ours_out, hf_out, atol=2e-5, rtol=1e-4)
+
+    def test_adaptive_pool_matches_torch(self):
+        import torch.nn.functional as F
+
+        from mmduet_tpu.models.clip import adaptive_avg_pool_grid
+
+        for s, out in ((4, 3), (27, 7), (24, 7), (5, 5)):
+            x = np.random.RandomState(s).randn(2, s, s, 3).astype(np.float32)
+            want = F.adaptive_avg_pool2d(
+                torch.from_numpy(x).permute(0, 3, 1, 2), (out, out)
+            ).permute(0, 2, 3, 1).numpy()
+            got = np.asarray(adaptive_avg_pool_grid(jnp.asarray(x), (out, out)))
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{s}->{out}")
+
+    def test_standalone_encode_contract(self):
+        """cls + pooled tokens exactly as `_clip_vision_encode` builds
+        them (cls = raw last_hidden_state[:,0], pooled from tokens 1:)."""
+        import torch.nn.functional as F
+
+        from mmduet_tpu.models.clip import normalize_pixels, standalone_encode
+
+        model, ours, params = self._tiny()
+        px_u8 = np.random.RandomState(1).randint(0, 255, (2, 32, 32, 3), np.uint8)
+        px = normalize_pixels(jnp.asarray(px_u8))
+        with torch.no_grad():
+            last = model(
+                torch.from_numpy(np.asarray(px)).permute(0, 3, 1, 2)
+            ).last_hidden_state
+        s = ours.num_patches_per_side
+        spatial = F.adaptive_avg_pool2d(
+            last[:, 1:].reshape(2, s, s, -1).permute(0, 3, 1, 2), (2, 2)
+        ).flatten(2, 3).permute(0, 2, 1)
+        want = torch.cat([last[:, :1], spatial], dim=1).numpy()
+        got = np.asarray(
+            standalone_encode(params, ours, px, True, (2, 2))
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_visual_embed_clip_arch(self):
+        """Full `mmduet.visual_embed` with vision_arch='clip': projector
+        over [cls + 2x2 pooled] = 5 tokens/frame, token count checked."""
+        from mmduet_tpu.config import tiny_config
+        from mmduet_tpu.models import mmduet
+
+        _, ours, params_v = self._tiny()
+        cfg = tiny_config(frame_num_tokens=5).replace(
+            vision_arch="clip", frame_token_cls=True,
+            frame_token_pooled=(2, 2), v_placeholder_id=511, eos_token_id=257,
+        )
+        cfg = cfg.replace(vision=ours)
+        rng = jax.random.PRNGKey(0)
+        h = cfg.text.hidden_size
+        params = {
+            "vision": params_v,
+            "projector": {
+                "fc1": jax.random.normal(rng, (ours.hidden_size, h)) * 0.05,
+                "fc1_bias": jnp.zeros((h,)),
+                "fc2": jax.random.normal(jax.random.fold_in(rng, 1), (h, h)) * 0.05,
+                "fc2_bias": jnp.zeros((h,)),
+            },
+        }
+        px_u8 = np.random.RandomState(2).randint(0, 255, (3, 32, 32, 3), np.uint8)
+        px = mmduet.normalize_pixels(cfg, jnp.asarray(px_u8))
+        out = mmduet.visual_embed(params, cfg, px)
+        assert out.shape == (3, 5, h)
+        assert np.isfinite(np.asarray(out)).all()
