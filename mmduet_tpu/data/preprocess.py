@@ -300,6 +300,33 @@ def load_features(path: str) -> np.ndarray:
     return feats
 
 
+def _resolve_cluster_shard(num_shards: int, shard_index: int):
+    """Auto-shard from the cluster scheduler when the CLI is launched as
+    an array/distributed job with default shard args (the reference's
+    submitit SLURM sharding, `data/utils.py:81-117`, without the
+    submitit dependency): SLURM array/step env vars first, then a TPU
+    pod's `jax.process_index` when JAX is already distributed-initialized.
+    Explicit --num_shards/--shard_index always win."""
+    if num_shards != 1 or shard_index != 0:
+        return num_shards, shard_index
+    env = os.environ
+    if env.get("SLURM_ARRAY_TASK_COUNT"):
+        n = int(env["SLURM_ARRAY_TASK_COUNT"])
+        i = int(env.get("SLURM_ARRAY_TASK_ID", 0)) - int(
+            env.get("SLURM_ARRAY_TASK_MIN", 0)
+        )
+        if n > 1:
+            print(f"[preprocess] SLURM array sharding: {i}/{n}")
+            return n, i
+    if env.get("SLURM_NTASKS"):
+        n = int(env["SLURM_NTASKS"])
+        i = int(env.get("SLURM_PROCID", 0))
+        if n > 1:
+            print(f"[preprocess] SLURM task sharding: {i}/{n}")
+            return n, i
+    return num_shards, shard_index
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="MMDuet-TPU offline preprocessing")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -328,6 +355,9 @@ def main(argv=None):
     e.add_argument("--bf16", action="store_true")
 
     args = p.parse_args(argv)
+    args.num_shards, args.shard_index = _resolve_cluster_shard(
+        args.num_shards, args.shard_index
+    )
     if args.cmd == "reencode":
         dst = sharded_reencode(
             args.src_root, fps=args.fps, resolution=args.resolution,

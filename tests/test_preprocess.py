@@ -121,3 +121,21 @@ class TestFeatureExtraction:
         assert feats.shape[1:] == (CFG.vision.num_patches, CFG.vision.hidden_size)
         meta = os.path.splitext(npys[0])[0] + ".json"
         assert os.path.exists(meta)
+
+
+def test_slurm_env_sharding(monkeypatch):
+    """Default shard args + SLURM array env -> auto-sharded; explicit
+    args always win (reference submitit parity, data/utils.py:81-117)."""
+    from mmduet_tpu.data.preprocess import _resolve_cluster_shard
+
+    monkeypatch.setenv("SLURM_ARRAY_TASK_COUNT", "4")
+    monkeypatch.setenv("SLURM_ARRAY_TASK_ID", "2")
+    monkeypatch.setenv("SLURM_ARRAY_TASK_MIN", "0")
+    assert _resolve_cluster_shard(1, 0) == (4, 2)
+    assert _resolve_cluster_shard(8, 3) == (8, 3)  # explicit wins
+    monkeypatch.delenv("SLURM_ARRAY_TASK_COUNT")
+    monkeypatch.setenv("SLURM_NTASKS", "3")
+    monkeypatch.setenv("SLURM_PROCID", "1")
+    assert _resolve_cluster_shard(1, 0) == (3, 1)
+    monkeypatch.delenv("SLURM_NTASKS")
+    assert _resolve_cluster_shard(1, 0) == (1, 0)
