@@ -82,34 +82,36 @@ class BatchedStreamScorer:
 
         V = cfg.text.vocab_size
 
-        def _prefix_one(params, embeds, k, v, cache_len, t_real):
-            """Feed one stream's (padded) prefix chunk. ``use_flash=None``:
-            the Pallas flash-decode kernel on TPU (vmapped over lanes),
-            jnp elsewhere."""
+        # NATIVE batching throughout: lanes share ONE kernel launch with
+        # per-lane cursors carried as (B,) vectors into the model fns
+        # (`mmduet.step_forward`/`chunk_scores_forward`). `jax.vmap` over
+        # the per-lane fns is deliberately avoided — vmapping the Pallas
+        # flash-decode call was measured at >10 min of XLA/Mosaic compile
+        # per shape on this backend, vs seconds for the explicit lane
+        # grid inside the kernel.
+
+        def _prefix_fn(params, embeds, k, v, cache_len, t_real):
+            """Feed every stream's (padded) prefix chunk."""
             out = mmduet.step_forward(
-                params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
+                params, cfg, embeds, KVCache(k, v), cache_len, t_real,
                 compute_lm_logits=False, use_flash=None,
             )
-            return out.kv_cache.k, out.kv_cache.v, cache_len + t_real
+            return out.kv_cache.k, out.kv_cache.v
 
-        # weights broadcast (in_axes None): one HBM read serves all streams
-        self._prefix_b = jax.jit(
-            jax.vmap(_prefix_one, in_axes=(None, 0, 0, 0, 0, 0)),
-            donate_argnums=(2, 3),
-        )
+        self._prefix_b = jax.jit(_prefix_fn, donate_argnums=(2, 3))
 
-        def _block_one(params, frames, k, v, cache_len):
-            inf, rel, cache = mmduet.frames_block_forward(
-                params, cfg, frames, KVCache(k, v), cache_len, use_flash=None,
+        def _block_fn(params, frames, k, v, cache_len):
+            """Score a lockstep (B, K, ft, H) frame block: probs (B,2,K)."""
+            Bn, K, ft, H = frames.shape
+            pos = (jnp.arange(K) + 1) * ft - 1
+            probs, cache = mmduet.chunk_scores_forward(
+                params, cfg, frames.reshape(Bn, K * ft, H), KVCache(k, v),
+                cache_len, jnp.int32(K * ft), pos, use_flash=None,
             )
-            n_tok = frames.shape[0] * frames.shape[1]
-            # stacked (2, K): ONE host transfer per block for all scores
-            return jnp.stack([inf, rel]), cache.k, cache.v, cache_len + n_tok
+            # (B, 2, K): ONE host transfer per block for all scores
+            return probs, cache.k, cache.v
 
-        self._block_b = jax.jit(
-            jax.vmap(_block_one, in_axes=(None, 0, 0, 0, 0)),
-            donate_argnums=(2, 3),
-        )
+        self._block_b = jax.jit(_block_fn, donate_argnums=(2, 3))
 
         @jax.jit
         def _visual(params, pixels_u8):
@@ -125,12 +127,13 @@ class BatchedStreamScorer:
     # ------------------------------------------------------------------
 
     def reset(self):
-        cache = init_kv_cache(self.cfg.text, 1, self._cache_size, self.dtype)
-        # per-stream caches stacked on a leading vmap axis (zeros, like
-        # a fresh single-stream cache)
-        self._k = jnp.zeros((self.B, *cache.k.shape), cache.k.dtype)
-        self._v = jnp.zeros((self.B, *cache.v.shape), cache.v.dtype)
-        self._cursor = jnp.zeros((self.B,), jnp.int32)
+        # one (L, B, kh, S, hd) cache with the lane dim on the model's
+        # native batch axis — same layout as B=1 single-stream serving
+        cache = init_kv_cache(
+            self.cfg.text, self.B, self._cache_size, self.dtype
+        )
+        self._k, self._v = cache.k, cache.v
+        self._cursor = np.zeros((self.B,), np.int64)  # host-authoritative
         self._frame_embeds: Optional[jnp.ndarray] = None
         self._lengths: Optional[np.ndarray] = None
         self._next = 0
@@ -183,9 +186,11 @@ class BatchedStreamScorer:
                 f"KV cache overflow: prefixes need {self._max_cursor} slots "
                 f"> capacity {self._cache_size}. Raise kv_cache_size."
             )
-        self._k, self._v, self._cursor = self._prefix_b(
-            self.params, embeds, self._k, self._v, self._cursor, t_real
+        self._k, self._v = self._prefix_b(
+            self.params, embeds, self._k, self._v,
+            jnp.asarray(self._cursor, jnp.int32), t_real,
         )
+        self._cursor += np.array([len(ids) for ids in per_stream])
 
     def input_video_streams(self, videos: Sequence[np.ndarray]) -> None:
         """Encode every stream's pixels (uint8 (T_b,H,W,3); lengths may
@@ -266,9 +271,11 @@ class BatchedStreamScorer:
                     f"capacity {self._cache_size}. Raise kv_cache_size."
                 )
             frames = self._frame_embeds[:, self._next : self._next + n]
-            dev, self._k, self._v, self._cursor = self._block_b(
-                self.params, frames, self._k, self._v, self._cursor
+            dev, self._k, self._v = self._block_b(
+                self.params, frames, self._k, self._v,
+                jnp.asarray(self._cursor, jnp.int32),
             )
+            self._cursor += n * ft
             drain()  # previous block: its RTT hides behind this dispatch
             pending = (dev, self._next, n)
             self._next += n
@@ -352,26 +359,22 @@ class BatchedStreamEngine(BatchedStreamScorer):
             | {block_frames * ft_, block_frames * ft_ + 64}
         ))
 
-        def _sched_one(params, embeds, k, v, cache_len, t_real, score_pos,
-                       active):
-            """One stream's (padded) [ids + n<=K frames] chunk -> (2, K)
-            score probs at that lane's frame-boundary positions. Inactive
-            lanes write K/V beyond their frozen cursor (harmless garbage
-            zone) and do not advance. ``use_flash=None``: auto — the
-            cursor-predicated Pallas flash-decode kernel on TPU (vmap adds
-            the lane grid dimension), the GSPMD-friendly jnp path
-            elsewhere."""
+        def _sched_fn(params, embeds, k, v, cache_len, t_real, score_pos):
+            """Per-lane (padded) [ids + n<=K frames] chunks -> (B, 2, K)
+            score probs at each lane's frame-boundary positions, in ONE
+            natively-batched dispatch (per-lane cursors; unfed lanes'
+            dummy chunks write K/V beyond their frozen cursor — the
+            harmless garbage zone — and the host never advances them).
+            ``use_flash=None``: auto — the cursor-predicated Pallas
+            flash-decode kernel on TPU (lane dim in the kernel grid),
+            the GSPMD-friendly jnp path elsewhere."""
             probs, cache = mmduet.chunk_scores_forward(
-                params, cfg_, embeds[None], KVCache(k, v), cache_len, t_real,
+                params, cfg_, embeds, KVCache(k, v), cache_len, t_real,
                 score_pos, use_flash=None,
             )
-            new_len = jnp.where(active, cache_len + t_real, cache_len)
-            return probs, cache.k, cache.v, new_len
+            return probs, cache.k, cache.v
 
-        self._sched_b = jax.jit(
-            jax.vmap(_sched_one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)),
-            donate_argnums=(2, 3),
-        )
+        self._sched_b = jax.jit(_sched_fn, donate_argnums=(2, 3))
 
         def _penalized(logits, mask):  # (B,V), (B,V) bool
             if rep is None:
@@ -391,15 +394,15 @@ class BatchedStreamEngine(BatchedStreamScorer):
             need a per-lane select."""
             Bn, t, _ = embeds.shape
 
-            step_p = jax.vmap(
-                lambda e, kk, vv, c, tr: mmduet.step_forward(
-                    params, cfg_, e[None], KVCache(kk, vv), c, tr,
+            def step_p(e, kk, vv, c, tr):
+                # natively batched: per-lane cursors as a (B,) vector
+                return mmduet.step_forward(
+                    params, cfg_, e, KVCache(kk, vv), c, tr,
                     compute_lm_logits=True, use_flash=None,
-                ),
-                in_axes=(0, 0, 0, 0, None),
-            )
+                )
+
             out = step_p(embeds, k, v, cache_len, jnp.int32(t))
-            logits0 = out.last_logits[:, 0]
+            logits0 = out.last_logits
             cursor = jnp.where(active, cache_len + t, cache_len)
 
             tok = jnp.argmax(_penalized(logits0, pen_mask), axis=-1).astype(jnp.int32)
@@ -419,7 +422,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 kk, vv, cursor, last_tok, buf, i, done, n, mask = s
                 emb = embed_tokens(params["decoder"], last_tok[:, None], V).astype(dtype_)
                 o = step_p(emb, kk, vv, cursor, jnp.int32(1))
-                tok = jnp.argmax(_penalized(o.last_logits[:, 0], mask), axis=-1).astype(jnp.int32)
+                tok = jnp.argmax(_penalized(o.last_logits, mask), axis=-1).astype(jnp.int32)
                 buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
                 upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
                 mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
@@ -729,12 +732,11 @@ class BatchedStreamEngine(BatchedStreamScorer):
             self._check_fits(b, bucket)
         self._guard_frozen_writes(bucket, chunks)
         embeds = jnp.stack([pad_chunk(c, bucket) for c in embeds_l])
-        probs, self._k, self._v, _ = self._sched_b(
+        probs, self._k, self._v = self._sched_b(
             self.params, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32),
             jnp.asarray(t_real, jnp.int32),
             jnp.asarray(score_pos, jnp.int32),
-            jnp.asarray(active),
         )
         for b in chunks:
             self._cur[b] += t_real[b]
@@ -798,9 +800,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
             if b > self._cache_size:
                 continue
             embeds = jnp.zeros((self.B, b, H), self.dtype)
-            _, self._k, self._v, _ = self._sched_b(
+            _, self._k, self._v = self._sched_b(
                 self.params, embeds, self._k, self._v, cur0,
-                jnp.full((self.B,), b, jnp.int32), pos0, active,
+                jnp.full((self.B,), b, jnp.int32), pos0,
             )
         if generate:
             self._cur[:] = 0

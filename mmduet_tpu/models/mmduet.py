@@ -286,15 +286,21 @@ def step_forward(
 ) -> StepOutput:
     """One streaming step: write chunk into cache, read scores at the last
     real position. Equivalent of one reference `_encode_frame` /
-    `_encode_query` forward (`test/inference.py:221-255`)."""
+    `_encode_query` forward (`test/inference.py:221-255`).
+
+    ``cache_len``/``t_real`` may be scalars (single stream) or (B,)
+    vectors (batched lanes with independent cursors — the batched
+    engines call this directly; no vmap)."""
     B, T, H = embeds.shape
-    positions = cache_len + jnp.arange(T)[None, :].repeat(B, axis=0)
+    cl = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    tr = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
+    positions = cl[:, None] + jnp.arange(T)[None, :]
     hidden, kv_cache = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
-        kv_cache=kv_cache, cache_len=cache_len, lora=lora, lora_scale=lora_scale,
-        t_real=t_real, use_flash=use_flash, scan_unroll=scan_unroll,
+        kv_cache=kv_cache, cache_len=cl, lora=lora, lora_scale=lora_scale,
+        t_real=tr, use_flash=use_flash, scan_unroll=scan_unroll,
     )
-    last = jax.lax.dynamic_index_in_dim(hidden, t_real - 1, axis=1)  # (B, 1, H)
+    last = jnp.take_along_axis(hidden, (tr - 1)[:, None, None], axis=1)  # (B, 1, H)
     return _score_output(params, last, kv_cache, compute_lm_logits)
 
 
@@ -310,38 +316,50 @@ def _score_output(params, last, kv_cache, compute_lm_logits):
 def chunk_scores_forward(
     params: Params,
     cfg: MMDuetConfig,
-    embeds: jax.Array,  # (1, T, H) one stream's (padded) chunk
+    embeds: jax.Array,  # (B, T, H) per-lane (padded) chunks
     kv_cache: KVCache,
-    cache_len: jax.Array,  # scalar int32
-    t_real: jax.Array,  # scalar int32
-    score_pos: jax.Array,  # (K,) int32 chunk-local positions to score
+    cache_len: jax.Array,  # (B,) int32 per-lane cursors (or scalar)
+    t_real: jax.Array,  # (B,) int32 per-lane real lengths (or scalar)
+    score_pos: jax.Array,  # (B, K) int32 chunk-local positions to score
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """One streaming chunk -> score probs at MULTIPLE chunk positions.
+    """One batched streaming chunk -> score probs at MULTIPLE per-lane
+    chunk positions.
 
     Generalizes `step_forward` (scores at the last real token) and
     `frames_block_forward` (scores at fixed frame boundaries): the batched
     engine's per-lane scheduler feeds ``[joiner/query ids + n <= K
     frames]`` chunks whose frame-boundary positions differ per lane, and
     reads each frame's score at its own position. Entries of ``score_pos``
-    beyond the lane's real frame count may point anywhere inside the
-    chunk — their probs are garbage the host never reads.
+    beyond a lane's real frame count may point anywhere inside the chunk
+    — their probs are garbage the host never reads. Lanes run NATIVELY
+    batched with independent cursors (one kernel launch, weights read
+    once; no vmap — see `ops/attention.py` on why).
 
-    Returns ((2, K) stacked informative/relevance probs, updated cache).
+    Returns ((B, 2, K) stacked informative/relevance probs, cache).
     """
     B, T, H = embeds.shape
-    positions = cache_len + jnp.arange(T)[None, :].repeat(B, axis=0)
+    cl = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    tr = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
+    positions = cl[:, None] + jnp.arange(T)[None, :]
     hidden, kv_cache = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
-        kv_cache=kv_cache, cache_len=cache_len,
-        lora=lora, lora_scale=lora_scale, t_real=t_real, use_flash=use_flash,
+        kv_cache=kv_cache, cache_len=cl,
+        lora=lora, lora_scale=lora_scale, t_real=tr, use_flash=use_flash,
     )
-    sel = jnp.take(hidden[0], score_pos, axis=0)[None]  # (1, K, H)
-    inf = jax.nn.softmax(_head(params["informative_head"], sel)[0], axis=-1)[:, 1]
-    rel = jax.nn.softmax(_head(params["relevance_head"], sel)[0], axis=-1)[:, 1]
-    return jnp.stack([inf, rel]), kv_cache
+    sp = jnp.asarray(score_pos, jnp.int32)
+    if sp.ndim == 1:
+        sp = jnp.broadcast_to(sp[None], (B, sp.shape[0]))
+    sel = jnp.take_along_axis(hidden, sp[..., None], axis=1)  # (B, K, H)
+    inf = jax.nn.softmax(
+        _head(params["informative_head"], sel), axis=-1
+    )[..., 1]  # (B, K)
+    rel = jax.nn.softmax(
+        _head(params["relevance_head"], sel), axis=-1
+    )[..., 1]
+    return jnp.stack([inf, rel], axis=1), kv_cache
 
 
 def frames_block_forward(

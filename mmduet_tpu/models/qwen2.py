@@ -160,24 +160,53 @@ def _attend(
     return out.reshape(B, T, nh, hd).astype(q.dtype)
 
 
-def _attend_cached(
+def _attend_split(
     q: jax.Array,  # (B, T, nh, hd)
-    k: jax.Array,  # (B, kh, S, hd) — head-major cache layout
-    v: jax.Array,  # (B, kh, S, hd)
-    mask: jax.Array,  # (B, T, S)
+    kc: jax.Array,  # (B, kh, S, hd) — head-major cache slice (READ-ONLY)
+    vc: jax.Array,  # (B, kh, S, hd)
+    ck: jax.Array,  # (B, kh, T, hd) — this chunk's K
+    cv: jax.Array,  # (B, kh, T, hd)
+    cache_len: jax.Array,  # (B,) int32: committed cache tokens per lane
+    t_real: jax.Array,  # (B,) int32: real tokens in each lane's chunk
 ) -> jax.Array:
-    """jnp fallback attention over the head-major cache."""
+    """jnp fallback for the split cache/chunk streaming attention: per
+    lane, one softmax over [cache slots < cache_len[b]] + [the chunk,
+    causal]. Bit-equivalent to writing the chunk at ``cache_len`` and
+    attending with the position mask (the flash kernel computes the same
+    split)."""
     B, T, nh, hd = q.shape
-    kh = k.shape[1]
+    kh = kc.shape[1]
+    S = kc.shape[2]
     group = nh // kh
-    q = q.reshape(B, T, kh, group, hd)
-    scores = jnp.einsum(
-        "btkgh,bksh->bkgts", q, k, preferred_element_type=jnp.float32
+    qr = q.reshape(B, T, kh, group, hd)
+    s_cache = jnp.einsum(
+        "btkgh,bksh->bkgts", qr, kc.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) / np.sqrt(hd)
-    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
+    s_chunk = jnp.einsum(
+        "btkgh,bkch->bkgtc", qr, ck.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) / np.sqrt(hd)
+    slot = jnp.arange(S)
+    s_cache = jnp.where(
+        slot[None, None, None, None, :]
+        < cache_len[:, None, None, None, None],
+        s_cache, -1e30,
+    )
+    col = jnp.arange(T)
+    cmask = (col[None, None, :] <= col[None, :, None]) & (
+        col[None, None, :] < t_real[:, None, None]
+    )  # (B, T, T)
+    s_chunk = jnp.where(cmask[:, None, None], s_chunk, -1e30)
+    probs = jax.nn.softmax(
+        jnp.concatenate([s_cache, s_chunk], axis=-1), axis=-1
+    )
+    p_cache, p_chunk = probs[..., :S], probs[..., S:]
     out = jnp.einsum(
-        "bkgts,bksh->btkgh", probs.astype(v.dtype), v,
+        "bkgts,bksh->btkgh", p_cache.astype(vc.dtype), vc,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bkgtc,bkch->btkgh", p_chunk.astype(cv.dtype), cv,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, nh, hd).astype(q.dtype)
@@ -207,8 +236,15 @@ def qwen2_forward(
 
     - **full** (kv_cache is None): causal self-attention over the chunk;
       used for training. ``attn_mask`` masks padding.
-    - **streaming** (kv_cache given): write chunk K/V at ``cache_len``,
-      attend over the whole cache with the position mask.
+    - **streaming** (kv_cache given): split attention over [committed
+      cache history] + [the chunk, causal] — identical math to writing
+      the chunk at ``cache_len`` first — with the chunk K/V written into
+      the cache by ONE post-scan `dynamic_update_slice`. The cache is
+      READ-ONLY inside the layer scan: a scan-stacked cache output (the
+      previous design) cannot be buffer-aliased by XLA, which allocated
+      and copied a second full cache every step (+4.7 GB / OOM at
+      batched protocol scale); the single post-scan update aliases the
+      donated buffer in place.
 
     Returns (hidden_states (B,T,H), updated cache or None).
     """
@@ -220,26 +256,23 @@ def qwen2_forward(
         if use_flash is None:
             from ..ops.attention import attention_available
 
+            # the kernel carries the lane dim in its grid, so batched
+            # engines (B > 1, per-lane cursors) use it directly — no
+            # vmap (whose pallas batching lowering took >10 min to
+            # compile per shape on this backend)
             use_flash = (
-                B == 1
-                and jax.default_backend() == "tpu"
+                jax.default_backend() == "tpu"
                 and attention_available(S, cfg.head_dim)
-            )
-        elif use_flash and B != 1:
-            # the kernel is single-stream (it indexes q[0]/cache[0]); a
-            # batched caller forcing it would silently attend only row 0
-            # and then crash on an unrelated-looking reshape
-            raise ValueError(
-                f"use_flash=True requires batch size 1, got B={B} "
-                "(batched serving uses the GSPMD-partitionable jnp path)"
+                and kv_cache.k.dtype == embeds.dtype
             )
         if t_real is None:
             t_real = jnp.int32(T)
-        # query i may attend to cache slot j iff j <= position of query i
-        slot = jnp.arange(S)[None, None, :]
-        mask = slot <= positions[:, :, None]
-        if attn_mask is not None:
-            mask = mask & attn_mask[:, :, None]
+        # per-lane vectors: scalars broadcast (single-stream callers)
+        cache_len_b = jnp.broadcast_to(
+            jnp.asarray(cache_len, jnp.int32), (B,)
+        )
+        t_real_b = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
+        mask = None
     else:
         # causal over the chunk, optionally masked for padding
         mask = positions[:, :, None] >= positions[:, None, :]
@@ -287,27 +320,33 @@ def qwen2_forward(
         k = apply_rope(k, cos, sin)
 
         if kv_cache is not None:
-            # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd) for the cache
-            k_hm = k.transpose(0, 2, 1, 3).astype(inputs["k_cache"].dtype)
-            v_hm = v.transpose(0, 2, 1, 3).astype(inputs["v_cache"].dtype)
-            k_cache = jax.lax.dynamic_update_slice(
-                inputs["k_cache"], k_hm, (0, 0, cache_len, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                inputs["v_cache"], v_hm, (0, 0, cache_len, 0)
-            )
+            layer = inputs["layer"]
+            # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd)
+            k_hm = k.transpose(0, 2, 1, 3).astype(kv_cache.k.dtype)
+            v_hm = v.transpose(0, 2, 1, 3).astype(kv_cache.v.dtype)
             if use_flash:
                 from ..ops.attention import flash_decode_attention
 
+                # the kernel indexes this layer of the closure-captured
+                # stacked cache via a scalar-prefetched BlockSpec — no
+                # per-layer cache slice is ever materialized, and only
+                # blocks below each lane's cursor are read
                 attn = flash_decode_attention(
-                    q[0], k_cache[0].astype(q.dtype), v_cache[0].astype(q.dtype),
-                    cache_len, t_real,
-                )[None]
-            else:
-                attn = _attend_cached(
-                    q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask
+                    q, kv_cache.k, kv_cache.v,
+                    k_hm.astype(q.dtype), v_hm.astype(q.dtype),
+                    cache_len_b, t_real_b, layer,
                 )
-            new_kv = (k_cache, v_cache)
+            else:
+                k_lay = jax.lax.dynamic_index_in_dim(
+                    kv_cache.k, layer, 0, keepdims=False
+                )
+                v_lay = jax.lax.dynamic_index_in_dim(
+                    kv_cache.v, layer, 0, keepdims=False
+                )
+                attn = _attend_split(
+                    q, k_lay, v_lay, k_hm, v_hm, cache_len_b, t_real_b
+                )
+            new_kv = (k_hm, v_hm)
         else:
             attn = _attend(q, k, v, mask)
             new_kv = ()
@@ -328,15 +367,34 @@ def qwen2_forward(
     if lora is not None:
         xs["lora"] = lora
     if kv_cache is not None:
-        xs["k_cache"] = kv_cache.k
-        xs["v_cache"] = kv_cache.v
+        xs["layer"] = jnp.arange(kv_cache.k.shape[0], dtype=jnp.int32)
 
-    hidden, kv_out = jax.lax.scan(layer_body, embeds, xs, unroll=scan_unroll)
+    hidden, chunk_kv = jax.lax.scan(layer_body, embeds, xs, unroll=scan_unroll)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
 
     if kv_cache is not None:
-        new_cache = KVCache(k=kv_out[0], v=kv_out[1])
-        return hidden, new_cache
+        # ONE in-place (donated-buffer-aliased) bucket-wide write of every
+        # layer's chunk K/V; padded tail slots hold garbage that the next
+        # chunk overwrites — same contract as before. Per-lane cursors
+        # need a per-lane start index, hence the lane-mapped update for
+        # B > 1 (still a single fused op, not inside the layer scan).
+        if B == 1:
+            k_out = jax.lax.dynamic_update_slice(
+                kv_cache.k, chunk_kv[0], (0, 0, 0, cache_len_b[0], 0)
+            )
+            v_out = jax.lax.dynamic_update_slice(
+                kv_cache.v, chunk_kv[1], (0, 0, 0, cache_len_b[0], 0)
+            )
+        else:
+            upd = jax.vmap(
+                lambda c, u, s: jax.lax.dynamic_update_slice(
+                    c, u, (0, 0, s, 0)
+                ),
+                in_axes=(1, 1, 0), out_axes=1,
+            )
+            k_out = upd(kv_cache.k, chunk_kv[0], cache_len_b)
+            v_out = upd(kv_cache.v, chunk_kv[1], cache_len_b)
+        return hidden, KVCache(k=k_out, v=v_out)
     return hidden, None
 
 

@@ -1,19 +1,35 @@
 """Pallas TPU kernel: fused streaming-prefill attention over the KV cache.
 
-The hot op of the streaming engine: a small query chunk (one frame,
-T≈49-64 tokens after bucketing) attends over the big static KV cache
-(S up to ~20k slots). The jnp path materializes (kh, g, T, S) f32 scores
-in HBM — measured at ~1.2 ms per 1k cache slots per step on v5e (≈12 ms
-at the YouCook2 cache size). This kernel computes flash-style (online
-softmax, scores never leave VMEM):
+The hot op of the streaming engines: per lane, a small query chunk (one
+frame, T≈49-64 tokens after bucketing, or a multi-frame fused block)
+attends over the big static KV cache (S up to ~20k slots). The jnp path
+materializes (B, kh, g, T, S) f32 scores in HBM — measured at ~1.2 ms
+per 1k cache slots per step on v5e (≈12 ms at the YouCook2 cache size).
+This kernel computes flash-style (online softmax, scores never leave
+VMEM):
 
+- **lane dimension in the grid**: one kernel launch serves all B
+  concurrent sessions, each with its OWN cursor (`jax.vmap` over a
+  pallas_call is avoided deliberately — its batching lowering was
+  measured at >10 min of compile time per shape on this backend, vs
+  seconds for the explicit lane grid);
 - GQA layout: queries reshaped to (kv_head, g·T, hd) so each KV head's
-  score matmul is one (448, 128) × (128, 512) MXU op;
-- grid (kv_heads, S/BS); m/l/acc carried in VMEM scratch across the
-  sequential KV-block dimension;
-- blocks entirely beyond the cursor are skipped (predicated) — compute
-  cost tracks the *live* cache length, not the buffer size;
-- causal/validity mask from the global position of each query row.
+  score matmul is one (g·T, hd) × (hd, 512) MXU op;
+- grid (B, kv_heads, n_qb, S/BS + 1); m/l/acc carried in VMEM scratch
+  across the sequential KV-block dimension;
+- cache blocks entirely beyond a lane's cursor are skipped (predicated)
+  — compute cost tracks each lane's LIVE cache length, not the buffer;
+- **split cache/chunk attention**: the cache operand is READ-ONLY (the
+  chunk's own K/V arrive as a separate small operand handled by the
+  final grid step with the causal mask). This is what lets the caller
+  keep ONE preallocated cache buffer that is updated in place with a
+  single post-scan `dynamic_update_slice` — the write-then-attend
+  variant forced a same-size second cache allocation per step (XLA
+  cannot alias a scan-stacked cache output), an OOM at batched protocol
+  scale and GBs of copy traffic besides;
+- the cache operand is the WHOLE layer-stacked (L, B, kh, S, hd)
+  buffer, indexed by a scalar-prefetched layer id in the BlockSpec — no
+  per-layer slice is ever materialized.
 
 Replaces flash-attention-2 in the reference's decode path
 (`models/arguments_live.py:27`, SURVEY.md §2.9).
@@ -40,21 +56,23 @@ NEG_INF = -1e30
 
 
 def attention_available(S: int, head_dim: int, block_s: int = 512) -> bool:
-    """Shape gate for the kernel path (the query length and head counts
-    impose no constraints — rows are padded to sublane alignment)."""
+    """Shape gate for the kernel path (the query length, lane count and
+    head counts impose no constraints — rows pad to sublane alignment)."""
     if not _PALLAS_OK:
         return False
     return S % block_s == 0 and head_dim % 128 == 0 and S >= block_s
 
 
-def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
+            m_ref, l_ref, acc_ref,
             *, block_s: int, block_rows: int, group: int, q_len: int,
             scale: float):
-    qb = pl.program_id(1)
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
-    valid_len = valid_len_ref[0]
-    cache_len = valid_len_ref[1]
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+    cache_len = valid_ref[b, 0]
+    t_real = valid_ref[b, 1]
 
     @pl.when(j == 0)
     def _init():
@@ -68,7 +86,7 @@ def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (block_rows, block_s)
+        p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -77,63 +95,76 @@ def _kernel(valid_len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    def _scores():
-        q = q_ref[0]  # (block_rows, hd)
-        k = k_ref[0]  # (block_s, hd)
+    def _scores(k):
+        q = q_ref[0, 0]  # (block_rows, hd)
         return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_rows, block_s)
+        ) * scale
 
+    is_cache_block = j < nj - 1
     block_end = (j + 1) * block_s
-    interior = block_end <= cache_len  # fully-written history: no masking
+    # committed history only: every query row sits at a position
+    # >= cache_len, so interior cache blocks need no mask at all and the
+    # boundary block masks only on cache_len
+    interior = is_cache_block & (block_end <= cache_len)
 
     @pl.when(interior)
-    def _compute_interior():
-        # every slot in this block precedes the chunk and is within the
-        # written region — skip the iota/compare/where mask entirely
-        _accumulate(_scores(), v_ref[0])
+    def _cache_interior():
+        _accumulate(_scores(k_ref[0, 0, 0]), v_ref[0, 0, 0])
 
-    @pl.when((~interior) & (j * block_s < valid_len))
-    def _compute_boundary():
-        s = _scores()
-        # mask: kv slot (j*BS + col) must be <= query global position and
-        # within the written region. Global row = qb*block_rows + local;
-        # its chunk-time index is row % q_len (rows are (g, T)-flattened).
+    @pl.when(is_cache_block & (~interior) & (j * block_s < cache_len))
+    def _cache_boundary():
+        s = _scores(k_ref[0, 0, 0])
         col = (
             jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 1)
             + j * block_s
         )
-        row = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 0)
-            + qb * block_rows
-        )
-        q_pos = cache_len + row % q_len
-        mask = (col <= q_pos) & (col < valid_len)
-        _accumulate(jnp.where(mask, s, NEG_INF), v_ref[0])
+        _accumulate(jnp.where(col < cache_len, s, NEG_INF), v_ref[0, 0, 0])
 
     @pl.when(j == nj - 1)
-    def _finish():
+    def _chunk_and_finish():
+        # the chunk's own K/V: causal within the chunk, padding masked.
+        # Global row = qb*block_rows + local; chunk-time index = row %
+        # q_len (rows are (g, T)-flattened).
+        s = _scores(ck_ref[0, 0])
+        tc = ck_ref.shape[2]
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_rows, tc), 1)
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_rows, tc), 0)
+            + qb * block_rows
+        )
+        t_idx = row % q_len
+        mask = (col <= t_idx) & (col < t_real)
+        _accumulate(jnp.where(mask, s, NEG_INF), cv_ref[0, 0])
         l = l_ref[:, 0:1]
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def flash_decode_attention(
-    q: jax.Array,  # (T, nh, hd)
-    k_cache: jax.Array,  # (kh, S, hd) head-major
-    v_cache: jax.Array,  # (kh, S, hd)
-    cache_len: jax.Array,  # scalar int32: query row t has position cache_len+t
-    t_real: jax.Array,  # scalar int32: real tokens in chunk
+    q: jax.Array,  # (B, T, nh, hd)
+    k_cache: jax.Array,  # (L, B, kh, S, hd) head-major, READ-ONLY
+    v_cache: jax.Array,  # same layout
+    chunk_k: jax.Array,  # (B, kh, T, hd) this chunk's K
+    chunk_v: jax.Array,  # (B, kh, T, hd)
+    cache_len: jax.Array,  # (B,) int32: committed tokens per lane
+    t_real: jax.Array,  # (B,) int32: real tokens in each lane's chunk
+    layer: jax.Array,  # scalar int32: layer into the stacked cache
     block_s: int = 512,
     max_block_rows: int = 2048,  # query-dim tile (VMEM scratch cap)
     interpret: bool = False,  # pallas interpreter (CPU correctness tests)
 ) -> jax.Array:
-    """Returns attention output (T, nh, hd). Semantics identical to the jnp
-    masked-softmax path in `qwen2._attend` for the streaming case.
+    """Returns attention output (B, T, nh, hd): per lane, softmax over
+    [that lane's committed cache history (slots < cache_len[b])] + [the
+    chunk itself, causal]. Identical math to writing the chunk at
+    ``cache_len`` first and attending with the position mask
+    (`qwen2._attend_split` is the jnp reference), without ever writing
+    the cache.
 
     Large chunks (multi-frame blocks) are tiled over the query dim so the
     per-step VMEM footprint stays bounded regardless of chunk length."""
-    T_in, nh, hd = q.shape
-    kh, S, _ = k_cache.shape
+    B, T_in, nh, hd = q.shape
+    L, Bc, kh, S, _ = k_cache.shape
+    assert Bc == B, (k_cache.shape, q.shape)
     group = nh // kh
     scale = 1.0 / np.sqrt(hd)
 
@@ -143,33 +174,71 @@ def flash_decode_attention(
     while (group * T) % 8 != 0:
         T += 1
     if T != T_in:
-        q = jnp.concatenate([q, jnp.zeros((T - T_in, nh, hd), q.dtype)], axis=0)
+        q = jnp.concatenate(
+            [q, jnp.zeros((B, T - T_in, nh, hd), q.dtype)], axis=1
+        )
     rows = group * T
+
+    # chunk K/V padded to lane alignment (masked out via col < t_real)
+    Tc = chunk_k.shape[2]
+    Tc_pad = -(-Tc // 128) * 128
+    if Tc_pad != Tc:
+        pad = jnp.zeros((B, kh, Tc_pad - Tc, hd), chunk_k.dtype)
+        chunk_k = jnp.concatenate([chunk_k, pad], axis=2)
+        chunk_v = jnp.concatenate([chunk_v, pad], axis=2)
 
     # query-dim tiling: n_qb blocks of block_rows rows each
     block_rows = min(max_block_rows, rows)
     n_qb = -(-rows // block_rows)
     rows_padded = n_qb * block_rows
 
-    # (T, nh, hd) -> (kh, group*T, hd); row = g*T + t
-    qr = q.reshape(T, kh, group, hd).transpose(1, 2, 0, 3).reshape(kh, rows, hd)
+    # (B, T, nh, hd) -> (B, kh, group*T, hd); row = g*T + t
+    qr = (
+        q.reshape(B, T, kh, group, hd)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, kh, rows, hd)
+    )
     if rows_padded != rows:
         qr = jnp.concatenate(
-            [qr, jnp.zeros((kh, rows_padded - rows, hd), qr.dtype)], axis=1
+            [qr, jnp.zeros((B, kh, rows_padded - rows, hd), qr.dtype)], axis=2
         )
     valid = jnp.stack(
-        [(cache_len + t_real).astype(jnp.int32), cache_len.astype(jnp.int32)]
-    )
+        [
+            cache_len.astype(jnp.int32),
+            t_real.astype(jnp.int32),
+            jnp.broadcast_to(layer.astype(jnp.int32), cache_len.shape),
+        ],
+        axis=1,
+    )  # (B, 3)
 
+    njc = S // block_s  # cache blocks; grid step njc handles the chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(kh, n_qb, S // block_s),
+        grid=(B, kh, n_qb, njc + 1),
         in_specs=[
-            pl.BlockSpec((1, block_rows, hd), lambda h, qb, j, s: (h, qb, 0)),
-            pl.BlockSpec((1, block_s, hd), lambda h, qb, j, s: (h, j, 0)),
-            pl.BlockSpec((1, block_s, hd), lambda h, qb, j, s: (h, j, 0)),
+            pl.BlockSpec(
+                (1, 1, block_rows, hd), lambda b, h, qb, j, s: (b, h, qb, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_s, hd),
+                # the chunk step (j == njc) clamps to the last cache
+                # block; its load is unused
+                lambda b, h, qb, j, s: (
+                    s[0, 2], b, h, jnp.minimum(j, njc - 1), 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_s, hd),
+                lambda b, h, qb, j, s: (
+                    s[0, 2], b, h, jnp.minimum(j, njc - 1), 0
+                ),
+            ),
+            pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_rows, hd), lambda h, qb, j, s: (h, qb, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 1, block_rows, hd), lambda b, h, qb, j, s: (b, h, qb, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_rows, 128), jnp.float32),  # m
             pltpu.VMEM((block_rows, 128), jnp.float32),  # l
@@ -180,11 +249,15 @@ def flash_decode_attention(
         partial(_kernel, block_s=block_s, block_rows=block_rows, group=group,
                 q_len=T, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kh, rows_padded, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, kh, rows_padded, hd), q.dtype),
         interpret=interpret,
-    )(valid, qr, k_cache, v_cache)
+    )(valid, qr, k_cache, v_cache, chunk_k, chunk_v)
 
-    # (kh, group*T, hd) -> (T, nh, hd), dropping padded query rows
-    out = out[:, :rows]
-    out = out.reshape(kh, group, T, hd).transpose(2, 0, 1, 3).reshape(T, nh, hd)
-    return out[:T_in]
+    # (B, kh, group*T, hd) -> (B, T, nh, hd), dropping padded query rows
+    out = out[:, :, :rows]
+    out = (
+        out.reshape(B, kh, group, T, hd)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B, T, nh, hd)
+    )
+    return out[:, :T_in]

@@ -334,14 +334,40 @@ class TestReviewRegressions:
         np.testing.assert_array_equal(
             params["lm_head"], sd["model.embed_tokens.weight"].T)
 
-    def test_use_flash_forced_with_batch_raises(self):
+    def test_batched_streaming_per_lane_cursors(self):
+        """B>1 streaming with DIFFERENT per-lane cursors (the batched
+        engines' native path — the kernel carries the lane dim in its
+        grid, so the old B==1 restriction is gone): each lane's output
+        must equal its own B=1 forward."""
         from mmduet_tpu.models.qwen2 import init_kv_cache, qwen2_forward
 
         params = init_mmduet_params(jax.random.PRNGKey(0), CFG)
+        H = CFG.text.hidden_size
+        r = np.random.RandomState(4)
         cache = init_kv_cache(CFG.text, 2, 512)
-        emb = jnp.zeros((2, 4, CFG.text.hidden_size), jnp.float32)
-        pos = jnp.broadcast_to(jnp.arange(4)[None], (2, 4))
-        with pytest.raises(ValueError, match="batch size 1"):
-            qwen2_forward(params["decoder"], CFG.text, emb, pos,
-                          kv_cache=cache, cache_len=jnp.int32(0),
-                          use_flash=True)
+        k = jnp.asarray(r.randn(*cache.k.shape) * 0.1, jnp.float32)
+        v = jnp.asarray(r.randn(*cache.v.shape) * 0.1, jnp.float32)
+        emb = jnp.asarray(r.randn(2, 4, H) * 0.1, jnp.float32)
+        cls = jnp.asarray([7, 123], jnp.int32)
+        pos = cls[:, None] + jnp.arange(4)[None]
+        hid, cache_out = qwen2_forward(
+            params["decoder"], CFG.text, emb, pos,
+            kv_cache=type(cache)(k, v), cache_len=cls,
+            t_real=jnp.asarray([4, 3], jnp.int32),
+        )
+        for b, (cl, tr) in enumerate(((7, 4), (123, 3))):
+            one, one_cache = qwen2_forward(
+                params["decoder"], CFG.text, emb[b : b + 1],
+                pos[b : b + 1],
+                kv_cache=type(cache)(k[:, b : b + 1], v[:, b : b + 1]),
+                cache_len=jnp.int32(cl), t_real=jnp.int32(tr),
+            )
+            np.testing.assert_allclose(
+                np.asarray(hid[b, :tr]), np.asarray(one[0, :tr]),
+                atol=1e-5, err_msg=f"lane {b}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(cache_out.k[:, b, :, cl : cl + tr]),
+                np.asarray(one_cache.k[:, 0, :, cl : cl + tr]),
+                atol=1e-6, err_msg=f"lane {b} cache write",
+            )

@@ -1,5 +1,11 @@
 """Pallas flash-decode attention kernel vs the jnp reference path
-(interpreter mode on CPU; the real-TPU run is covered by bench/perf)."""
+(interpreter mode on CPU; the real-TPU run is covered by bench/perf).
+
+The kernel computes SPLIT attention: softmax over [committed cache
+history (slots < cache_len)] + [the chunk itself, causal]. The reference
+here reproduces the write-then-attend semantics (write the chunk into
+the cache at ``cache_len`` then mask ``slot <= pos``) to pin that the
+split decomposition is the same math."""
 
 import jax
 import jax.numpy as jnp
@@ -9,39 +15,81 @@ import pytest
 from mmduet_tpu.ops.attention import attention_available, flash_decode_attention
 
 
-def _jnp_reference(q, k, v, cache_len, t_real):
-    """Masked-softmax reference matching qwen2 streaming semantics,
-    restricted to valid slots. k/v are head-major (kh, S, hd)."""
+def _jnp_reference(q, k_hist, v_hist, ck, cv, cache_len, t_real):
+    """Write-then-attend reference over head-major (kh, S, hd) cache:
+    chunk K/V written at cache_len, mask slot <= pos & slot < valid."""
     T, nh, hd = q.shape
-    kh, S, _ = k.shape
+    kh, S, _ = k_hist.shape
+    k = np.asarray(k_hist, np.float32).copy()
+    v = np.asarray(v_hist, np.float32).copy()
+    tr = int(t_real)
+    k[:, cache_len : cache_len + tr] = np.asarray(ck, np.float32)[:, :tr]
+    v[:, cache_len : cache_len + tr] = np.asarray(cv, np.float32)[:, :tr]
     g = nh // kh
-    qr = q.reshape(T, kh, g, hd)
-    scores = np.einsum("tkgh,ksh->kgts", np.asarray(qr, np.float32), np.asarray(k, np.float32)) / np.sqrt(hd)
+    qr = np.asarray(q, np.float32).reshape(T, kh, g, hd)
+    scores = np.einsum("tkgh,ksh->kgts", qr, k) / np.sqrt(hd)
     pos = cache_len + np.arange(T)[:, None]
     slot = np.arange(S)[None, :]
-    mask = (slot <= pos) & (slot < cache_len + t_real)
+    mask = (slot <= pos) & (slot < cache_len + tr)
     scores = np.where(mask[None, None], scores, -1e30)
     p = np.exp(scores - scores.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    out = np.einsum("kgts,ksh->tkgh", p, np.asarray(v, np.float32))
+    out = np.einsum("kgts,ksh->tkgh", p, v)
     return out.reshape(T, nh, hd)
+
+
+def _mk(T, nh, kh, hd, S, L=1, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.array(rng.randn(T, nh, hd), jnp.float32) * 0.1
+    k = jnp.array(rng.randn(L, kh, S, hd), jnp.float32) * 0.1
+    v = jnp.array(rng.randn(L, kh, S, hd), jnp.float32) * 0.1
+    ck = jnp.array(rng.randn(kh, T, hd), jnp.float32) * 0.1
+    cv = jnp.array(rng.randn(kh, T, hd), jnp.float32) * 0.1
+    return q, k, v, ck, cv
 
 
 @pytest.mark.parametrize("cache_len,t_real", [(0, 64), (512, 64), (1000, 49), (1979, 5)])
 def test_kernel_matches_reference(cache_len, t_real):
     T, nh, kh, hd, S = 64, 8, 2, 128, 2048
-    rng = np.random.RandomState(0)
-    q = jnp.array(rng.randn(T, nh, hd), jnp.float32) * 0.1
-    k = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
-    v = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S)
     out = flash_decode_attention(
-        q, k, v, jnp.int32(cache_len), jnp.int32(t_real), interpret=True
+        q, k, v, ck, cv, jnp.int32(cache_len), jnp.int32(t_real),
+        jnp.int32(0), interpret=True,
     )
-    ref = _jnp_reference(q, k, v, cache_len, t_real)
+    ref = _jnp_reference(q, k[0], v[0], ck, cv, cache_len, t_real)
     # only rows t < t_real are meaningful
     np.testing.assert_allclose(
         np.asarray(out)[:t_real], ref[:t_real], atol=2e-3, rtol=1e-3
     )
+
+
+def test_layer_indexing_selects_right_slice():
+    """The stacked-cache layer index must pick the right layer's history."""
+    T, nh, kh, hd, S, L = 8, 4, 2, 128, 1024, 3
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S, L=L, seed=3)
+    for lay in (0, 2):
+        out = flash_decode_attention(
+            q, k, v, ck, cv, jnp.int32(700), jnp.int32(T),
+            jnp.int32(lay), interpret=True,
+        )
+        ref = _jnp_reference(q, k[lay], v[lay], ck, cv, 700, T)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+
+
+def test_chunk_padding_masked():
+    """Padded chunk columns (t >= t_real) must not contribute."""
+    T, nh, kh, hd, S = 64, 8, 2, 128, 1024
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=5)
+    # poison the padded region of the chunk
+    ck = ck.at[:, 10:].set(1e3)
+    cv = cv.at[:, 10:].set(1e3)
+    out = flash_decode_attention(
+        q, k, v, ck, cv, jnp.int32(256), jnp.int32(10), jnp.int32(0),
+        interpret=True,
+    )
+    ref = _jnp_reference(q, k[0], v[0], ck, cv, 256, 10)
+    np.testing.assert_allclose(np.asarray(out)[:10], ref[:10], atol=2e-3, rtol=1e-3)
+    assert np.abs(np.asarray(out)[:10]).max() < 100
 
 
 @pytest.mark.parametrize("max_block_rows", [64, 96])
@@ -50,15 +98,12 @@ def test_query_dim_tiling_matches_reference(max_block_rows):
     query dim. 64 divides rows evenly; 96 forces padded tail rows."""
     T, nh, kh, hd, S = 98, 8, 2, 128, 1024  # rows = 4*98 = 392 per kv head
     cache_len, t_real = 300, 98
-    rng = np.random.RandomState(1)
-    q = jnp.array(rng.randn(T, nh, hd), jnp.float32) * 0.1
-    k = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
-    v = jnp.array(rng.randn(kh, S, hd), jnp.float32) * 0.1
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=1)
     out = flash_decode_attention(
-        q, k, v, jnp.int32(cache_len), jnp.int32(t_real),
-        max_block_rows=max_block_rows, interpret=True,
+        q, k, v, ck, cv, jnp.int32(cache_len), jnp.int32(t_real),
+        jnp.int32(0), max_block_rows=max_block_rows, interpret=True,
     )
-    ref = _jnp_reference(q, k, v, cache_len, t_real)
+    ref = _jnp_reference(q, k[0], v[0], ck, cv, cache_len, t_real)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
 
 
