@@ -128,7 +128,12 @@ class BatchedStreamScorer:
 
     def reset(self):
         # one (L, B, kh, S, hd) cache with the lane dim on the model's
-        # native batch axis — same layout as B=1 single-stream serving
+        # native batch axis — same layout as B=1 single-stream serving.
+        # Drop the old buffers FIRST: at protocol scale the caches are
+        # ~5 GB and old+new alongside the 7 GB params would overshoot a
+        # 16 GB chip (the allocation failure then surfaces asynchronously
+        # at some later unrelated-looking op)
+        self._k = self._v = None
         cache = init_kv_cache(
             self.cfg.text, self.B, self._cache_size, self.dtype
         )

@@ -74,12 +74,6 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
     cache_len = valid_ref[b, 0]
     t_real = valid_ref[b, 1]
 
-    @pl.when(j == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     def _accumulate(s, v):
         """Online-softmax accumulation of one scored block."""
         m_prev = m_ref[:, 0:1]  # (block_rows, 1)
@@ -101,31 +95,14 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
 
-    is_cache_block = j < nj - 1
-    block_end = (j + 1) * block_s
-    # committed history only: every query row sits at a position
-    # >= cache_len, so interior cache blocks need no mask at all and the
-    # boundary block masks only on cache_len
-    interior = is_cache_block & (block_end <= cache_len)
-
-    @pl.when(interior)
-    def _cache_interior():
-        _accumulate(_scores(k_ref[0, 0, 0]), v_ref[0, 0, 0])
-
-    @pl.when(is_cache_block & (~interior) & (j * block_s < cache_len))
-    def _cache_boundary():
-        s = _scores(k_ref[0, 0, 0])
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 1)
-            + j * block_s
-        )
-        _accumulate(jnp.where(col < cache_len, s, NEG_INF), v_ref[0, 0, 0])
-
-    @pl.when(j == nj - 1)
-    def _chunk_and_finish():
-        # the chunk's own K/V: causal within the chunk, padding masked.
-        # Global row = qb*block_rows + local; chunk-time index = row %
-        # q_len (rows are (g, T)-flattened).
+    @pl.when(j == 0)
+    def _chunk_first():
+        # grid step 0 seeds the online softmax with the CHUNK's own K/V
+        # (causal within the chunk, padding masked) — folding the chunk
+        # into step 0 keeps every BlockSpec index map a pure grid
+        # function. Global row = qb*block_rows + local; chunk-time index
+        # = row % q_len (rows are (g, T)-flattened). Every real query row
+        # attends at least its own chunk token, so the seed max is finite.
         s = _scores(ck_ref[0, 0])
         tc = ck_ref.shape[2]
         col = jax.lax.broadcasted_iota(jnp.int32, (block_rows, tc), 1)
@@ -135,7 +112,41 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
         )
         t_idx = row % q_len
         mask = (col <= t_idx) & (col < t_real)
-        _accumulate(jnp.where(mask, s, NEG_INF), cv_ref[0, 0])
+        s = jnp.where(mask, s, NEG_INF)
+        m0 = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m0)
+        m_ref[:] = jnp.broadcast_to(m0, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        acc_ref[:] = jax.lax.dot_general(
+            p.astype(cv_ref.dtype), cv_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # cache blocks (grid steps 1..nj-1 map to cache block j-1): committed
+    # history only — every query row sits at a position >= cache_len, so
+    # interior blocks need no mask at all and the boundary block masks
+    # only on cache_len
+    cj = j - 1
+    block_end = (cj + 1) * block_s
+    interior = (j > 0) & (block_end <= cache_len)
+
+    @pl.when(interior)
+    def _cache_interior():
+        _accumulate(_scores(k_ref[0, 0, 0]), v_ref[0, 0, 0])
+
+    @pl.when((j > 0) & (~interior) & (cj * block_s < cache_len))
+    def _cache_boundary():
+        s = _scores(k_ref[0, 0, 0])
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 1)
+            + cj * block_s
+        )
+        _accumulate(jnp.where(col < cache_len, s, NEG_INF), v_ref[0, 0, 0])
+
+    @pl.when(j == nj - 1)
+    def _finish():
         l = l_ref[:, 0:1]
         o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -211,7 +222,7 @@ def flash_decode_attention(
         axis=1,
     )  # (B, 3)
 
-    njc = S // block_s  # cache blocks; grid step njc handles the chunk
+    njc = S // block_s  # cache blocks; grid step 0 handles the chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, kh, n_qb, njc + 1),
@@ -221,17 +232,13 @@ def flash_decode_attention(
             ),
             pl.BlockSpec(
                 (1, 1, 1, block_s, hd),
-                # the chunk step (j == njc) clamps to the last cache
-                # block; its load is unused
-                lambda b, h, qb, j, s: (
-                    s[0, 2], b, h, jnp.minimum(j, njc - 1), 0
-                ),
+                # step 0 is the chunk step; its (unused) cache load
+                # clamps to block 0
+                lambda b, h, qb, j, s: (s[0, 2], b, h, jnp.maximum(j - 1, 0), 0),
             ),
             pl.BlockSpec(
                 (1, 1, 1, block_s, hd),
-                lambda b, h, qb, j, s: (
-                    s[0, 2], b, h, jnp.minimum(j, njc - 1), 0
-                ),
+                lambda b, h, qb, j, s: (s[0, 2], b, h, jnp.maximum(j - 1, 0), 0),
             ),
             pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
@@ -245,12 +252,22 @@ def flash_decode_attention(
             pltpu.VMEM((block_rows, hd), jnp.float32),  # acc
         ],
     )
+    kwargs = {}
+    if not interpret:
+        # big multi-frame blocks (32 frames = 12k query rows) exceed the
+        # default 16 MiB scoped-VMEM budget when XLA stages the kernel's
+        # output inside the layer-scan body; the physical VMEM is far
+        # larger — raise the per-kernel budget instead of shrinking tiles
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     out = pl.pallas_call(
         partial(_kernel, block_s=block_s, block_rows=block_rows, group=group,
                 q_len=T, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, rows_padded, hd), q.dtype),
         interpret=interpret,
+        **kwargs,
     )(valid, qr, k_cache, v_cache, chunk_k, chunk_v)
 
     # (B, kh, group*T, hd) -> (B, T, nh, hd), dropping padded query rows

@@ -38,14 +38,18 @@ def _jnp_reference(q, k_hist, v_hist, ck, cv, cache_len, t_real):
     return out.reshape(T, nh, hd)
 
 
-def _mk(T, nh, kh, hd, S, L=1, seed=0):
+def _mk(T, nh, kh, hd, S, L=1, seed=0, B=1):
     rng = np.random.RandomState(seed)
-    q = jnp.array(rng.randn(T, nh, hd), jnp.float32) * 0.1
-    k = jnp.array(rng.randn(L, kh, S, hd), jnp.float32) * 0.1
-    v = jnp.array(rng.randn(L, kh, S, hd), jnp.float32) * 0.1
-    ck = jnp.array(rng.randn(kh, T, hd), jnp.float32) * 0.1
-    cv = jnp.array(rng.randn(kh, T, hd), jnp.float32) * 0.1
+    q = jnp.array(rng.randn(B, T, nh, hd), jnp.float32) * 0.1
+    k = jnp.array(rng.randn(L, B, kh, S, hd), jnp.float32) * 0.1
+    v = jnp.array(rng.randn(L, B, kh, S, hd), jnp.float32) * 0.1
+    ck = jnp.array(rng.randn(B, kh, T, hd), jnp.float32) * 0.1
+    cv = jnp.array(rng.randn(B, kh, T, hd), jnp.float32) * 0.1
     return q, k, v, ck, cv
+
+
+def _vec(*vals):
+    return jnp.asarray(vals, jnp.int32)
 
 
 @pytest.mark.parametrize("cache_len,t_real", [(0, 64), (512, 64), (1000, 49), (1979, 5)])
@@ -53,13 +57,13 @@ def test_kernel_matches_reference(cache_len, t_real):
     T, nh, kh, hd, S = 64, 8, 2, 128, 2048
     q, k, v, ck, cv = _mk(T, nh, kh, hd, S)
     out = flash_decode_attention(
-        q, k, v, ck, cv, jnp.int32(cache_len), jnp.int32(t_real),
+        q, k, v, ck, cv, _vec(cache_len), _vec(t_real),
         jnp.int32(0), interpret=True,
     )
-    ref = _jnp_reference(q, k[0], v[0], ck, cv, cache_len, t_real)
+    ref = _jnp_reference(q[0], k[0, 0], v[0, 0], ck[0], cv[0], cache_len, t_real)
     # only rows t < t_real are meaningful
     np.testing.assert_allclose(
-        np.asarray(out)[:t_real], ref[:t_real], atol=2e-3, rtol=1e-3
+        np.asarray(out)[0, :t_real], ref[:t_real], atol=2e-3, rtol=1e-3
     )
 
 
@@ -69,11 +73,11 @@ def test_layer_indexing_selects_right_slice():
     q, k, v, ck, cv = _mk(T, nh, kh, hd, S, L=L, seed=3)
     for lay in (0, 2):
         out = flash_decode_attention(
-            q, k, v, ck, cv, jnp.int32(700), jnp.int32(T),
+            q, k, v, ck, cv, _vec(700), _vec(T),
             jnp.int32(lay), interpret=True,
         )
-        ref = _jnp_reference(q, k[lay], v[lay], ck, cv, 700, T)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+        ref = _jnp_reference(q[0], k[lay, 0], v[lay, 0], ck[0], cv[0], 700, T)
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=2e-3, rtol=1e-3)
 
 
 def test_chunk_padding_masked():
@@ -81,15 +85,15 @@ def test_chunk_padding_masked():
     T, nh, kh, hd, S = 64, 8, 2, 128, 1024
     q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=5)
     # poison the padded region of the chunk
-    ck = ck.at[:, 10:].set(1e3)
-    cv = cv.at[:, 10:].set(1e3)
+    ck = ck.at[:, :, 10:].set(1e3)
+    cv = cv.at[:, :, 10:].set(1e3)
     out = flash_decode_attention(
-        q, k, v, ck, cv, jnp.int32(256), jnp.int32(10), jnp.int32(0),
+        q, k, v, ck, cv, _vec(256), _vec(10), jnp.int32(0),
         interpret=True,
     )
-    ref = _jnp_reference(q, k[0], v[0], ck, cv, 256, 10)
-    np.testing.assert_allclose(np.asarray(out)[:10], ref[:10], atol=2e-3, rtol=1e-3)
-    assert np.abs(np.asarray(out)[:10]).max() < 100
+    ref = _jnp_reference(q[0], k[0, 0], v[0, 0], ck[0], cv[0], 256, 10)
+    np.testing.assert_allclose(np.asarray(out)[0, :10], ref[:10], atol=2e-3, rtol=1e-3)
+    assert np.abs(np.asarray(out)[0, :10]).max() < 100
 
 
 @pytest.mark.parametrize("max_block_rows", [64, 96])
@@ -100,11 +104,11 @@ def test_query_dim_tiling_matches_reference(max_block_rows):
     cache_len, t_real = 300, 98
     q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=1)
     out = flash_decode_attention(
-        q, k, v, ck, cv, jnp.int32(cache_len), jnp.int32(t_real),
+        q, k, v, ck, cv, _vec(cache_len), _vec(t_real),
         jnp.int32(0), max_block_rows=max_block_rows, interpret=True,
     )
-    ref = _jnp_reference(q, k[0], v[0], ck, cv, cache_len, t_real)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+    ref = _jnp_reference(q[0], k[0, 0], v[0, 0], ck[0], cv[0], cache_len, t_real)
+    np.testing.assert_allclose(np.asarray(out)[0], ref, atol=2e-3, rtol=1e-3)
 
 
 def test_availability_gate():
@@ -112,3 +116,23 @@ def test_availability_gate():
     assert not attention_available(2049, 128)  # S not divisible
     assert not attention_available(2048, 64)  # head_dim
     assert not attention_available(256, 128)  # S < block
+
+
+def test_per_lane_cursors():
+    """B=3 lanes with different cursors and chunk lengths: each lane must
+    equal its own single-lane reference."""
+    T, nh, kh, hd, S = 16, 4, 2, 128, 1024
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=9, B=3)
+    cls = (0, 513, 900)
+    trs = (16, 7, 1)
+    out = flash_decode_attention(
+        q, k, v, ck, cv, _vec(*cls), _vec(*trs), jnp.int32(0),
+        interpret=True,
+    )
+    for b in range(3):
+        ref = _jnp_reference(q[b], k[0, b], v[0, b], ck[b], cv[b],
+                             cls[b], trs[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, : trs[b]], ref[: trs[b]],
+            atol=2e-3, rtol=1e-3, err_msg=f"lane {b}",
+        )
