@@ -78,7 +78,8 @@ class BatchedStreamScorer:
 
         self.system_prompt = system_prompt or DEFAULT_SYSTEM_PROMPT
         size = kv_cache_size or (max_num_frames * cfg.frame_num_tokens + 4096)
-        self._cache_size = -(-size // 512) * 512
+        # rounded to the flash kernel's KV block size
+        self._cache_size = -(-size // 2048) * 2048
 
         V = cfg.text.vocab_size
 

@@ -124,7 +124,7 @@ class LiveInferEngine:
             args.max_num_frames * cfg.frame_num_tokens + 4096
         )
         # round to the pallas attention kernel's KV block size
-        self._cache_size = -(-cache_size // 512) * 512
+        self._cache_size = -(-cache_size // 2048) * 2048
         self.set_fps(args.frame_fps)
 
         # ---- jitted device functions ----

@@ -55,7 +55,7 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def attention_available(S: int, head_dim: int, block_s: int = 512) -> bool:
+def attention_available(S: int, head_dim: int, block_s: int = 2048) -> bool:
     """Shape gate for the kernel path (the query length, lane count and
     head counts impose no constraints — rows pad to sublane alignment)."""
     if not _PALLAS_OK:
@@ -160,7 +160,9 @@ def flash_decode_attention(
     cache_len: jax.Array,  # (B,) int32: committed tokens per lane
     t_real: jax.Array,  # (B,) int32: real tokens in each lane's chunk
     layer: jax.Array,  # scalar int32: layer into the stacked cache
-    block_s: int = 512,
+    block_s: int = 2048,  # 512-blocks quadruple the grid-step count and
+    # per-step DMA overhead then dominates long-cache attention (measured
+    # ~1 ms per 1k live slots vs the ~0.05 ms bandwidth floor)
     max_block_rows: int = 2048,  # query-dim tile (VMEM scratch cap)
     interpret: bool = False,  # pallas interpreter (CPU correctness tests)
 ) -> jax.Array:
@@ -176,6 +178,8 @@ def flash_decode_attention(
     B, T_in, nh, hd = q.shape
     L, Bc, kh, S, _ = k_cache.shape
     assert Bc == B, (k_cache.shape, q.shape)
+    block_s = min(block_s, S)  # small caches: one block is the cache
+    assert S % block_s == 0, (S, block_s)
     group = nh // kh
     scale = 1.0 / np.sqrt(hd)
 

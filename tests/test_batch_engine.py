@@ -251,7 +251,9 @@ def test_frozen_lane_overflow_guard():
                              kv_cache_size=512)
     emb = jnp.zeros((2, 3, CFG.frame_num_tokens, CFG.text.hidden_size))
     be.input_frame_embeds(emb)
-    be._cur[:] = [508, 10]  # lane 0 frozen, within bucket width of 512
+    # capacity rounds to the kernel block size (2048); lane 0 frozen
+    # within one dispatch-bucket width of it
+    be._cur[:] = [2044, 10]
     with pytest.raises(RuntimeError, match="frozen stream 0"):
         be._dispatch_sched({1: ([1, 2, 3], 0, 0)})
 

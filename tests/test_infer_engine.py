@@ -127,8 +127,9 @@ class TestStreamingLoop:
             make_args(stream_end_prob_threshold=1.0, grounding_mode=True),
             kv_cache_size=40,
         )
-        # capacity rounds up to 512; 150 frames * 4 tokens + start ids > 512
-        big = (np.random.RandomState(1).rand(150, 32, 32, 3) * 255).astype(np.uint8)
+        # capacity rounds up to 2048 (the kernel's KV block size);
+        # 600 frames * 4 tokens + start ids > 2048
+        big = (np.random.RandomState(1).rand(600, 32, 32, 3) * 255).astype(np.uint8)
         eng.input_video_stream(big)
         with pytest.raises(RuntimeError, match="overflow"):
             eng.inference()
