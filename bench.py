@@ -133,7 +133,8 @@ def run_score(params, text, cfg):
     from mmduet_tpu.models.qwen2 import KVCache, init_kv_cache
 
     MAX_FRAMES = 192  # YouCook2-protocol scale (cap 200)
-    cache_size = -(-(200 * FRAME_TOKENS + 512) // 512) * 512
+    # rounded to the flash kernel's preferred 2048 KV block
+    cache_size = -(-(200 * FRAME_TOKENS + 512) // 2048) * 2048
     cache = init_kv_cache(text, 1, cache_size, dtype=jnp.bfloat16)
 
     @partial(jax.jit, donate_argnums=(1, 2))

@@ -55,12 +55,22 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
+def pick_block_s(S: int, preferred: int = 2048) -> int:
+    """Largest KV block size <= ``preferred`` that divides the cache: big
+    blocks amortize per-grid-step DMA overhead (dominant at protocol-scale
+    caches); 512 remains the floor for legacy 512-rounded capacities."""
+    for bs in (preferred, 1024, 512):
+        if bs <= preferred and S % bs == 0 and S >= bs:
+            return bs
+    return 0  # no admissible block size -> jnp fallback
+
+
 def attention_available(S: int, head_dim: int, block_s: int = 2048) -> bool:
     """Shape gate for the kernel path (the query length, lane count and
     head counts impose no constraints — rows pad to sublane alignment)."""
     if not _PALLAS_OK:
         return False
-    return S % block_s == 0 and head_dim % 128 == 0 and S >= block_s
+    return pick_block_s(S, block_s) > 0 and head_dim % 128 == 0
 
 
 def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
@@ -178,8 +188,8 @@ def flash_decode_attention(
     B, T_in, nh, hd = q.shape
     L, Bc, kh, S, _ = k_cache.shape
     assert Bc == B, (k_cache.shape, q.shape)
-    block_s = min(block_s, S)  # small caches: one block is the cache
-    assert S % block_s == 0, (S, block_s)
+    block_s = pick_block_s(S, block_s)
+    assert block_s > 0, (S,)
     group = nh // kh
     scale = 1.0 / np.sqrt(hd)
 

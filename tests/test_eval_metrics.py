@@ -98,6 +98,33 @@ class TestQVH:
         out = preds_to_saliency([{"question_id": "q", "debug_data": debug}], 0)
         assert out[0]["pred_saliency_scores"] == [2.0, 2.0, 2.0]  # 2s clips @1fps
 
+    def test_moment_retrieval_golden(self):
+        from mmduet_tpu.eval.qvh import (
+            compute_mr_r1,
+            eval_moment_retrieval,
+            eval_submission,
+        )
+
+        gold = [{"qid": "q", "duration": 150.0,
+                 "relevant_windows": [[0.0, 10.0], [40.0, 80.0]]}]
+        # top window (original order, not score order) exactly hits gt 1;
+        # the higher-scored second window half-overlaps gt 2
+        sub = [{"qid": "q", "pred_relevant_windows": [
+            [0.0, 10.0, 0.4], [40.0, 60.0, 0.9]]}]
+        mr = eval_moment_retrieval(sub, gold)
+        # full range: scored order = [40-60 (IoU .5 vs gt2), 0-10 (IoU 1)]
+        # -> at thd .5 both tp: AP = (.5*1 + .5*1) = 1
+        assert mr["full"]["MR-mAP"]["0.5"] == 100.0
+        # at thd .55 only the second-ranked pred matches: P@2=.5, R=.5
+        assert mr["full"]["MR-mAP"]["0.55"] == 25.0
+        assert mr["full"]["MR-R1"]["0.5"] == 100.0  # top pred IoU 1.0 vs gt1
+        # short range keeps only the 10-long gt window; both preds kept
+        assert mr["short"]["MR-mAP"]["0.5"] == 50.0
+        res = eval_submission(sub, gold)
+        assert res["brief"]["MR-full-mAP@0.5"] == 100.0
+        assert "full" in res and "HL-min-Fair" not in res  # no saliency given
+        assert compute_mr_r1(sub, gold)["0.5"] == 100.0
+
 
 class TestCaptioning:
     def test_ptb_tokenize(self):

@@ -116,6 +116,44 @@ def test_cider_matches_reference_vendored_scorer():
         np.testing.assert_allclose(our_per, ref_per, atol=1e-8)
 
 
+def test_qvh_moment_retrieval_matches_reference_module():
+    """MR-mAP (detection AP w/ gt locking) + MR-R1 across all four length
+    ranges vs `test/qvh/eval.py:136-153` on random window sets."""
+    ref_eval = pytest.importorskip("qvh.eval")
+    from mmduet_tpu.eval.qvh import eval_moment_retrieval
+
+    rng = random.Random(21)
+    for _ in range(10):
+        gold, sub = [], []
+        for i in range(rng.randint(2, 5)):
+            dur = 150.0
+            wins = []
+            # cover every length range so the reference never averages an
+            # empty prediction set (it nans there; we return 0)
+            for lo, hi in ((1, 9), (11, 29), (31, 140)):
+                for _ in range(rng.randint(1, 2)):
+                    length = rng.uniform(lo, hi)
+                    st = rng.uniform(0, dur - length)
+                    wins.append([st, st + length])
+            gold.append({"qid": f"q{i}", "duration": dur,
+                         "relevant_windows": wins})
+            preds = []
+            for _ in range(rng.randint(1, 12)):
+                length = rng.uniform(0.5, 140)
+                st = rng.uniform(0, dur - length)
+                preds.append([st, st + length, rng.random()])
+            sub.append({"qid": f"q{i}", "pred_relevant_windows": preds})
+        ref = ref_eval.eval_moment_retrieval(sub, gold, verbose=False)
+        ours = eval_moment_retrieval(sub, gold)
+        for name in ref:
+            for metric in ref[name]:
+                for thd, val in ref[name][metric].items():
+                    np.testing.assert_allclose(
+                        ours[name][metric][thd], val, atol=1e-6,
+                        err_msg=f"{name}/{metric}/{thd}",
+                    )
+
+
 def test_qvh_highlight_matches_reference_module():
     ref_eval = pytest.importorskip("qvh.eval")
     from mmduet_tpu.eval.qvh import eval_highlight
