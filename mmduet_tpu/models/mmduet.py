@@ -237,6 +237,7 @@ def train_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     remat: bool = True,
+    use_flash: Optional[bool] = None,  # None = auto (flash on TPU)
 ) -> TrainOutput:
     """Full-sequence training forward. Labels are PRE-SHIFTED by the
     collator (reference contract, `video_head_live_llava_qwen.py:163`)."""
@@ -246,6 +247,7 @@ def train_forward(
     hidden, _ = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
         attn_mask=attn_mask, lora=lora, lora_scale=lora_scale, remat=remat,
+        use_flash=use_flash,
     )
     if cfg.video_head_stop_grad:
         head_hidden = jax.lax.stop_gradient(hidden)

@@ -274,6 +274,19 @@ def qwen2_forward(
         t_real_b = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
         mask = None
     else:
+        if use_flash is None:
+            from ..ops.attention import full_attention_available
+
+            # full-sequence (training) flash path: fused fwd+bwd, no
+            # (T, T) score tensor in HBM. Equivalent to the masked jnp
+            # path for every real row because pads sit at the sequence
+            # edge with edge positions, so index-causality == the
+            # position-causality below (see ops.attention docstring).
+            use_flash = (
+                jax.default_backend() == "tpu"
+                and full_attention_available(cfg.head_dim)
+                and T >= 512
+            )
         # causal over the chunk, optionally masked for padding
         mask = positions[:, :, None] >= positions[:, None, :]
         # padding tokens neither attend nor are attended
@@ -347,6 +360,11 @@ def qwen2_forward(
                     q, k_lay, v_lay, k_hm, v_hm, cache_len_b, t_real_b
                 )
             new_kv = (k_hm, v_hm)
+        elif use_flash:
+            from ..ops.attention import flash_full_attention
+
+            attn = flash_full_attention(q, k, v, attn_mask)
+            new_kv = ()
         else:
             attn = _attend(q, k, v, mask)
             new_kv = ()

@@ -292,3 +292,84 @@ def flash_decode_attention(
         .reshape(B, T, nh, hd)
     )
     return out[:, :T_in]
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence (training) flash attention
+# ---------------------------------------------------------------------------
+#
+# The training forward (`models/mmduet.train_forward`) runs causal
+# attention over the whole padded sequence. The jnp path materializes the
+# (B, kh, g, T, T) f32 score tensor in HBM — at the reference recipe's
+# ~5-6k-token samples that is GBs of HBM traffic per layer. The stock
+# pallas TPU flash kernel (jax.experimental.pallas.ops.tpu.flash_attention,
+# with a custom VJP so the backward pass is fused too) replaces it; this
+# wrapper adapts our (B, T, nh, hd) layout + padding mask to its
+# (B, nh, T, hd) + SegmentIds contract. Replaces flash-attention-2 in the
+# reference's TRAINING path (`models/modeling_live.py:92,98`).
+
+try:
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds as _SegmentIds,
+        flash_attention as _stock_flash_attention,
+        mha_reference as _mha_reference,
+    )
+
+    _FULL_FLASH_OK = True
+except Exception:  # pragma: no cover
+    _FULL_FLASH_OK = False
+
+_FULL_BLOCK = 512  # sequence pads to this; the kernel's major block size
+
+
+def full_attention_available(head_dim: int) -> bool:
+    """Gate for the full-sequence (training) flash path."""
+    return _FULL_FLASH_OK and _PALLAS_OK and head_dim % 128 == 0
+
+
+def flash_full_attention(
+    q: jax.Array,  # (B, T, nh, hd)
+    k: jax.Array,  # (B, T, kh, hd)
+    v: jax.Array,  # (B, T, kh, hd)
+    attn_mask: Optional[jax.Array],  # (B, T) bool; None = no padding
+    *,
+    _impl=None,  # test hook: the jnp mha_reference stands in on CPU
+) -> jax.Array:
+    """Causal self-attention over a (left- or right-)padded batch,
+    flash-fused fwd+bwd. Matches `qwen2._attend` with the mask
+    ``causal & attn_mask[s] & attn_mask[t]`` for every REAL query row
+    (padding rows produce garbage the loss masks out), because padded
+    rows hold distinct positions at the sequence edge, so index-causality
+    equals the position-causality `_attend` applies.
+    """
+    B, T, nh, hd = q.shape
+    kh = k.shape[2]
+    if attn_mask is None:
+        attn_mask = jnp.ones((B, T), bool)
+
+    # pad the sequence to the kernel's block multiple; pads are masked
+    # away via segment ids (pad tokens attend only each other)
+    Tp = -(-T // _FULL_BLOCK) * _FULL_BLOCK
+    if Tp != T:
+        pad = [(0, 0), (0, Tp - T)]
+        q = jnp.pad(q, pad + [(0, 0), (0, 0)])
+        k = jnp.pad(k, pad + [(0, 0), (0, 0)])
+        v = jnp.pad(v, pad + [(0, 0), (0, 0)])
+        attn_mask = jnp.pad(attn_mask, pad)
+
+    # GQA: the stock kernel wants matching head counts — repeat K/V.
+    # (kh*T*hd extra HBM reads per layer; negligible vs the score FLOPs
+    # the fusion saves.)
+    group = nh // kh
+    qh = q.transpose(0, 2, 1, 3)  # (B, nh, T, hd)
+    kb = jnp.repeat(k.transpose(0, 2, 1, 3), group, axis=1)
+    vb = jnp.repeat(v.transpose(0, 2, 1, 3), group, axis=1)
+    seg = attn_mask.astype(jnp.int32) + 1  # real=2, pad=1 (any two ids)
+    impl = _impl
+    if impl is None:  # pragma: no cover - exercised on TPU (bench/train)
+        impl = _stock_flash_attention
+    out = impl(
+        qh, kb, vb, None, _SegmentIds(q=seg, kv=seg),
+        causal=True, sm_scale=1.0 / np.sqrt(hd),
+    )
+    return out.transpose(0, 2, 1, 3)[:, :T].astype(q.dtype)

@@ -58,6 +58,7 @@ def _loss_fn(
     micro: Dict,
     scale: float,
     remat: bool,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, Dict]:
     params = merge_trainable(base_params, trainable)
     frame_embeds = None
@@ -85,6 +86,7 @@ def _loss_fn(
         lora=trainable["lora"],
         lora_scale=scale,
         remat=remat,
+        use_flash=use_flash,
     )
     metrics = {
         "loss": out.loss,
@@ -116,6 +118,11 @@ def make_train_step(
     """
     scale = lora_scale(args.lora_r, args.lora_alpha)
     remat = args.gradient_checkpointing
+    # the full-sequence flash kernel is a custom call XLA's SPMD
+    # partitioner cannot shard: single-device steps auto-enable it,
+    # multi-device meshes keep the (partitionable) jnp attention — same
+    # policy as the serving engine under TP (`infer/engine.py:105`)
+    use_flash = None if mesh is None or mesh.size == 1 else False
 
     @jax.jit
     def train_step(state: TrainState, base_params: Dict, batch: Dict):
@@ -124,7 +131,8 @@ def make_train_step(
         def accum(carry, micro):
             g_acc, m_acc = carry
             (_, metrics), grads = grad_fn(
-                state.trainable, base_params, cfg, micro, scale, remat
+                state.trainable, base_params, cfg, micro, scale, remat,
+                use_flash,
             )
             g_acc = jax.tree.map(
                 lambda a, g: a + g.astype(jnp.float32), g_acc, grads

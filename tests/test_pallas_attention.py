@@ -136,3 +136,74 @@ def test_per_lane_cursors():
             np.asarray(out)[b, : trs[b]], ref[: trs[b]],
             atol=2e-3, rtol=1e-3, err_msg=f"lane {b}",
         )
+
+
+class TestFullSequenceFlash:
+    """Training-path flash wrapper: the segment-id/padding adaptation must
+    reproduce `qwen2._attend`'s position-causal masked attention for every
+    REAL row. The stock kernel can't run on CPU, so its bundled jnp
+    `mha_reference` (same masking contract) stands in via the test hook;
+    the kernel itself is exercised by bench/train on TPU."""
+
+    @pytest.mark.parametrize("pad_side", ["left", "right", "none"])
+    @pytest.mark.parametrize("T", [48, 512])
+    def test_matches_attend(self, pad_side, T):
+        from jax.experimental.pallas.ops.tpu.flash_attention import mha_reference
+
+        from mmduet_tpu.models.qwen2 import _attend
+        from mmduet_tpu.ops.attention import flash_full_attention
+
+        B, nh, kh, hd = 2, 4, 2, 128
+        rng = np.random.RandomState(T + len(pad_side))
+        q = jnp.asarray(rng.randn(B, T, nh, hd), jnp.float32) * 0.3
+        k = jnp.asarray(rng.randn(B, T, kh, hd), jnp.float32) * 0.3
+        v = jnp.asarray(rng.randn(B, T, kh, hd), jnp.float32) * 0.3
+
+        n_real = np.array([T, T - 7])
+        mask_np = np.ones((B, T), bool)
+        if pad_side == "left":
+            for b in range(B):
+                mask_np[b, : T - n_real[b]] = False
+        elif pad_side == "right":
+            for b in range(B):
+                mask_np[b, n_real[b]:] = False
+        attn_mask = jnp.asarray(mask_np)
+
+        # positions as train_forward builds them (cumsum - 1)
+        positions = jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1
+        full_mask = positions[:, :, None] >= positions[:, None, :]
+        full_mask = full_mask & attn_mask[:, None, :] & attn_mask[:, :, None]
+        ref = _attend(q, k, v, full_mask)
+
+        out = flash_full_attention(
+            q, k, v, None if pad_side == "none" else attn_mask,
+            _impl=mha_reference,
+        )
+        # compare REAL rows only (padding rows are garbage by contract)
+        np.testing.assert_allclose(
+            np.asarray(out)[mask_np], np.asarray(ref)[mask_np],
+            atol=2e-5, rtol=1e-4,
+        )
+
+    def test_grads_flow(self):
+        """The wrapper must be differentiable (the training path takes
+        grads through it)."""
+        # the plain-jnp reference (autodiffable); the stock kernel's own
+        # custom VJP is exercised on TPU by bench/train
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            mha_reference_no_custom_vjp as mha_reference,
+        )
+
+        from mmduet_tpu.ops.attention import flash_full_attention
+
+        B, T, nh, kh, hd = 1, 16, 4, 2, 128
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, T, nh, hd), jnp.float32) * 0.1
+        k = jnp.asarray(rng.randn(B, T, kh, hd), jnp.float32) * 0.1
+        v = jnp.asarray(rng.randn(B, T, kh, hd), jnp.float32) * 0.1
+
+        def loss(q):
+            return flash_full_attention(q, k, v, None, _impl=mha_reference).sum()
+
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()
