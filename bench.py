@@ -408,35 +408,46 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
     engine._generate_response()
     t_warmup = time.perf_counter() - t0
 
-    # (a) reference-style sequential split: encode all, then stream
-    engine.reset()
-    engine.set_fps(2.0)
-    t0 = time.perf_counter()
-    engine.input_video_stream(pixels)
-    # block_until_ready does not synchronize on the axon backend — a
-    # value fetch is the only true barrier (see tests/conftest + memory)
-    float(engine.frame_embeds[-1, -1, 0])
-    t_vision = time.perf_counter() - t0
+    # The tunnel's bandwidth drifts ~±25% over minutes (measured: the
+    # same vision phase 8.2 s vs 13.1 s run to run), easily inverting a
+    # single seq-vs-pipelined comparison. Measure each path TWICE,
+    # alternating, and report each path's best — both paths then face
+    # the same tunnel lottery.
+    QUERY = [{"role": "user", "content": "What is happening?", "time": 0.0}]
 
-    engine.input_query_stream(
-        [{"role": "user", "content": "What is happening?", "time": 0.0}]
-    )
-    t0 = time.perf_counter()
-    responses = engine.inference()
-    t_stream = time.perf_counter() - t0
-    n_gen = sum(1 for r in responses if r["role"] == "assistant")
-    lat = np.array(engine.frame_latencies_ms)
+    def run_sequential():
+        engine.reset()
+        engine.set_fps(2.0)
+        t0 = time.perf_counter()
+        engine.input_video_stream(pixels)
+        # block_until_ready does not synchronize on the axon backend — a
+        # value fetch is the only true barrier (see tests/conftest + memory)
+        float(engine.frame_embeds[-1, -1, 0])
+        t_vision = time.perf_counter() - t0
+        engine.input_query_stream(QUERY)
+        t0 = time.perf_counter()
+        responses = engine.inference()
+        t_stream = time.perf_counter() - t0
+        n = sum(1 for r in responses if r["role"] == "assistant")
+        return t_vision, t_stream, n, np.array(engine.frame_latencies_ms)
 
-    # (b) pipelined pixels->responses (the true e2e serving number)
-    engine.reset()
-    engine.set_fps(2.0)
-    engine.input_query_stream(
-        [{"role": "user", "content": "What is happening?", "time": 0.0}]
-    )
-    t0 = time.perf_counter()
-    responses_p = engine.stream_video(pixels, chunk_frames=CHUNK)
-    t_pipe = time.perf_counter() - t0
-    n_gen_p = sum(1 for r in responses_p if r["role"] == "assistant")
+    def run_pipelined():
+        engine.reset()
+        engine.set_fps(2.0)
+        engine.input_query_stream(QUERY)
+        t0 = time.perf_counter()
+        responses = engine.stream_video(pixels, chunk_frames=CHUNK)
+        return (
+            time.perf_counter() - t0,
+            sum(1 for r in responses if r["role"] == "assistant"),
+        )
+
+    seq_runs, pipe_runs = [], []
+    for _ in range(2):
+        seq_runs.append(run_sequential())
+        pipe_runs.append(run_pipelined())
+    t_vision, t_stream, n_gen, lat = min(seq_runs, key=lambda r: r[0] + r[1])
+    t_pipe, n_gen_p = min(pipe_runs)
 
     peak, resident, method = hbm_probe()
     out = {
@@ -447,6 +458,8 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
             "stream_s": round(t_stream, 2),
             "sequential_total_s": round(t_vision + t_stream, 2),
             "pipelined_s": round(t_pipe, 2),
+            "pipelined_s_runs": [round(t, 2) for t, _ in pipe_runs],
+            "sequential_s_runs": [round(tv + ts, 2) for tv, ts, _, _ in seq_runs],
             "e2e_frames_s": round(n_frames / t_pipe, 1),
             "score_p50_ms_per_frame": round(float(np.percentile(lat, 50)), 2),
             "generations": int(n_gen),

@@ -102,6 +102,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lr_sched: Optional[optax.Schedule] = None,
     mesh=None,
+    use_flash: Any = "auto",
 ):
     """Build the jitted step: ``(state, base_params, batch) -> (state, metrics)``.
 
@@ -122,7 +123,8 @@ def make_train_step(
     # partitioner cannot shard: single-device steps auto-enable it,
     # multi-device meshes keep the (partitionable) jnp attention — same
     # policy as the serving engine under TP (`infer/engine.py:105`)
-    use_flash = None if mesh is None or mesh.size == 1 else False
+    if use_flash == "auto":
+        use_flash = None if mesh is None or mesh.size == 1 else False
 
     @jax.jit
     def train_step(state: TrainState, base_params: Dict, batch: Dict):
