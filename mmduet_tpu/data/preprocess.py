@@ -32,6 +32,7 @@ import json
 import os
 import pathlib
 import subprocess
+import sys
 from functools import partial
 from typing import Callable, List, Optional
 
@@ -323,6 +324,19 @@ def _resolve_cluster_shard(num_shards: int, shard_index: int):
         i = int(env.get("SLURM_PROCID", 0))
         if n > 1:
             print(f"[preprocess] SLURM task sharding: {i}/{n}")
+            return n, i
+    # TPU pod: a multi-process jax.distributed launch shards by process
+    # index. Only consult jax if it is already imported — preprocessing
+    # is host-side work and must not initialize a TPU backend itself.
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        try:
+            n = jax_mod.process_count()
+            i = jax_mod.process_index()
+        except Exception:
+            n, i = 1, 0
+        if n > 1:
+            print(f"[preprocess] jax.distributed sharding: {i}/{n}")
             return n, i
     return num_shards, shard_index
 

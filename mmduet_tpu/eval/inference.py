@@ -318,25 +318,26 @@ def _run_batched(args) -> None:
                 "fps": sample.fps,
             }
 
-    results: dict = {}
     t0 = time.perf_counter()
     n_frames_total = 0
-    for idx, responses, debug in engine.serve(session_iter()):
-        results[idx] = (responses, round_floats(debug, 3))
-        n_frames_total += len(debug)
-    dt_ms = (time.perf_counter() - t0) * 1000
-    # individual frame latencies are not observable when B streams share
-    # one dispatch: report the run-aggregate per-frame wall on every line
-    per_frame = round(dt_ms / max(n_frames_total, 1), 2)
+    # write + flush each session's line the moment it retires (completion
+    # order; consumers key on question_id) — a crash or preemption at
+    # hour N keeps every finished sample, like the sequential driver.
+    # Individual frame latencies are not observable when B streams share
+    # one dispatch: each line reports the run-aggregate per-frame wall
+    # over all frames served SO FAR (the final line's value is the
+    # whole-run aggregate).
     with open(args.output_fname, "w") as f_out:
-        for idx in sorted(results):  # submission order, like sequential
+        for idx, responses, debug in engine.serve(session_iter()):
+            n_frames_total += len(debug)
+            dt_ms = (time.perf_counter() - t0) * 1000
+            per_frame = round(dt_ms / max(n_frames_total, 1), 2)
             qid, duration, _ = meta[idx]
-            responses, debug = results[idx]
             res = {
                 "question_id": qid,
                 "model_response_list": responses,
                 "video_duration": duration,
-                "debug_data": debug,
+                "debug_data": round_floats(debug, 3),
                 "latency": {
                     "p50_ms": per_frame,
                     "p90_ms": per_frame,
@@ -345,6 +346,7 @@ def _run_batched(args) -> None:
                 },
             }
             f_out.write(json.dumps(res) + "\n")
+            f_out.flush()
             n_done += 1
     dt = time.perf_counter() - t_start
     print(f"done (batched x{B}, continuous admission): {n_done} samples "

@@ -224,8 +224,12 @@ def compute_mr_r1(
 ) -> Dict[str, float]:
     """R@1: IoU of the TOP predicted window vs the best-matching gt window
     (`test/qvh/eval.py:73-98`)."""
+    # a query with no predicted moments scores IoU 0 (a miss at every
+    # threshold) instead of crashing the standalone evaluator
     pred_top = {d["qid"]: np.asarray(d["pred_relevant_windows"][0][:2], float)
-                for d in submission}
+                for d in submission if len(d["pred_relevant_windows"])}
+    empty_qids = [d["qid"] for d in submission
+                  if not len(d["pred_relevant_windows"])]
     ious = {}
     for d in ground_truth:
         qid = d["qid"]
@@ -234,7 +238,11 @@ def compute_mr_r1(
         gts = np.asarray(d["relevant_windows"], float).reshape(-1, 2)
         iou_row = temporal_iou_cross(pred_top[qid][None, :], gts)[0]
         ious[qid] = float(iou_row.max()) if len(iou_row) else 0.0
-    vals = np.array([ious[q] for q in pred_top if q in ious])
+    gt_qids = {d["qid"] for d in ground_truth}
+    vals = np.array(
+        [ious[q] for q in pred_top if q in ious]
+        + [0.0 for q in empty_qids if q in gt_qids]
+    )
     return {
         str(t): float(f"{np.mean(vals >= t) * 100:.2f}") if len(vals) else 0.0
         for t in iou_thds

@@ -710,7 +710,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         K = self.block_frames
         H = self._frame_embeds.shape[-1] if self._frame_embeds is not None \
             else self.params["decoder"]["final_norm"].shape[-1]
-        embeds_l, t_real, score_pos, active = [], [], [], []
+        embeds_l, t_real, score_pos = [], [], []
         for b in range(self.B):
             if b in chunks:
                 ids, fstart, nf = chunks[b]
@@ -727,12 +727,10 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 t_real.append(emb.shape[0])
                 pos = [len(ids) + (j + 1) * ft - 1 for j in range(nf)]
                 score_pos.append(pos + [0] * (K - nf))
-                active.append(True)
-            else:
+            else:  # unfed lane: 1-token dummy, scores ignored by caller
                 embeds_l.append(jnp.zeros((1, H), self.dtype))
                 t_real.append(1)
                 score_pos.append([0] * K)
-                active.append(False)
         bucket = pick_bucket(max(t_real), self._buckets)
         for b in chunks:
             self._check_fits(b, bucket)

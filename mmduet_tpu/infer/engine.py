@@ -703,7 +703,7 @@ class LiveInferEngine:
                 v for k_, v in scores.items() if k_ in self.score_heads
             ))
 
-        def drain() -> None:
+        def drain_pending() -> None:
             nonlocal pending
             if pending is None:
                 return
@@ -737,16 +737,17 @@ class LiveInferEngine:
             if n == self.block_frames and n >= 2 and not self._needs_joiner():
                 base_t = self.video_time
                 dev = self._dispatch_frames_block(n)
-                drain()  # previous block: its RTT hides behind this dispatch
+                # previous block: its RTT hides behind this dispatch
+                drain_pending()
                 pending = (dev, n, base_t)
                 for _ in range(n):  # repeated addition: bit-exact clocks
                     self.video_time += self.frame_interval
             else:
-                drain()
+                drain_pending()
                 scores = self._encode_frame()
                 process(scores, self.video_time)
                 self.video_time += self.frame_interval
-        drain()
+        drain_pending()
 
         n_frames = self._next_frame - start_frame
         total_ms = (time.perf_counter() - t_wall) * 1000

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .siglip import _layer_norm, _mm, patchify
+from .siglip import _layer_norm, _mm, encoder_layer, patchify
 
 Params = Dict[str, Any]
 
@@ -114,26 +114,8 @@ def clip_encode(params: Params, cfg, images: jax.Array) -> jax.Array:
         x, params["pre_ln_scale"], params["pre_ln_bias"], cfg.layer_norm_eps
     )
 
-    nh = cfg.num_heads
-    hd = cfg.hidden_size // nh
-
     def body(h, p):
-        y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
-        q = (_mm(y, p["q_proj"], "nph,ho->npo").astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        k = (_mm(y, p["k_proj"], "nph,ho->npo").astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        v = (_mm(y, p["v_proj"], "nph,ho->npo").astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
-        attn = attn.reshape(N, -1, nh * hd)
-        attn = _mm(attn, p["o_proj"], "nph,ho->npo").astype(h.dtype) + p["o_bias"].astype(h.dtype)
-        h = h + attn
-
-        y = _layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-        y = _mm(y, p["fc1"], "nph,hm->npm").astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
-        y = quick_gelu(y.astype(jnp.float32)).astype(h.dtype)
-        y = _mm(y, p["fc2"], "npm,mh->nph").astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
-        return h + y, ()
+        return encoder_layer(h, p, cfg, quick_gelu), ()
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x

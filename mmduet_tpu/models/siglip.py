@@ -13,6 +13,7 @@ and the llava package's vision tower used at
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -101,6 +102,34 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(N, gh * gw, C * p * p)
 
 
+def encoder_layer(h: jax.Array, p: Params, cfg, act) -> jax.Array:
+    """One pre-LN ViT encoder layer: LN -> MHA -> residual -> LN -> MLP
+    -> residual. Shared by the SigLIP and CLIP towers, which differ only
+    in the MLP activation (`act`: tanh-gelu vs quick_gelu). ``cfg`` needs
+    num_heads/hidden_size/layer_norm_eps; projections are int8-aware via
+    `_mm`."""
+    N = h.shape[0]
+    nh = cfg.num_heads
+    hd = cfg.hidden_size // nh
+
+    y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
+    q = (_mm(y, p["q_proj"], "nph,ho->npo").astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+    k = (_mm(y, p["k_proj"], "nph,ho->npo").astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+    v = (_mm(y, p["v_proj"], "nph,ho->npo").astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
+    scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
+    attn = attn.reshape(N, -1, nh * hd)
+    attn = _mm(attn, p["o_proj"], "nph,ho->npo").astype(h.dtype) + p["o_bias"].astype(h.dtype)
+    h = h + attn
+
+    y = _layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
+    y = _mm(y, p["fc1"], "nph,hm->npm").astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+    y = act(y.astype(jnp.float32)).astype(h.dtype)
+    y = _mm(y, p["fc2"], "npm,mh->nph").astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
+    return h + y
+
+
 def siglip_encode(
     params: Params,
     cfg: SiglipConfig,
@@ -108,7 +137,6 @@ def siglip_encode(
     feature_layer: int = -2,
 ) -> jax.Array:
     """Encode frames -> patch features (N, num_patches, hidden)."""
-    N = images.shape[0]
     x = patchify(images, cfg.patch_size)
     x = (
         _mm(x, params["patch_embed"], "npd,dh->nph").astype(images.dtype)
@@ -118,26 +146,10 @@ def siglip_encode(
 
     num_layers = cfg.num_layers + feature_layer + 1 if feature_layer < 0 else feature_layer + 1
     layer_params = jax.tree.map(lambda a: a[:num_layers], params["layers"])
-    nh = cfg.num_heads
-    hd = cfg.hidden_size // nh
 
     def body(h, p):
-        y = _layer_norm(h, p["ln1_scale"], p["ln1_bias"], cfg.layer_norm_eps)
-        q = (_mm(y, p["q_proj"], "nph,ho->npo").astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        k = (_mm(y, p["k_proj"], "nph,ho->npo").astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        v = (_mm(y, p["v_proj"], "nph,ho->npo").astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
-        attn = attn.reshape(N, -1, nh * hd)
-        attn = _mm(attn, p["o_proj"], "nph,ho->npo").astype(h.dtype) + p["o_bias"].astype(h.dtype)
-        h = h + attn
-
-        y = _layer_norm(h, p["ln2_scale"], p["ln2_bias"], cfg.layer_norm_eps)
-        y = _mm(y, p["fc1"], "nph,hm->npm").astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(h.dtype)
-        y = _mm(y, p["fc2"], "npm,mh->nph").astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
-        return h + y, ()
+        act = partial(jax.nn.gelu, approximate=True)
+        return encoder_layer(h, p, cfg, act), ()
 
     x, _ = jax.lax.scan(body, x, layer_params)
     return x

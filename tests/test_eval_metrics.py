@@ -125,6 +125,25 @@ class TestQVH:
         assert "full" in res and "HL-min-Fair" not in res  # no saliency given
         assert compute_mr_r1(sub, gold)["0.5"] == 100.0
 
+    def test_moment_retrieval_empty_prediction(self):
+        """A query with NO predicted moments scores as a miss (IoU 0)
+        instead of crashing — plausible input for a standalone-evaluator
+        submission file."""
+        from mmduet_tpu.eval.qvh import compute_mr_r1, eval_moment_retrieval
+
+        gold = [
+            {"qid": "a", "duration": 150.0, "relevant_windows": [[0.0, 10.0]]},
+            {"qid": "b", "duration": 150.0, "relevant_windows": [[5.0, 25.0]]},
+        ]
+        sub = [
+            {"qid": "a", "pred_relevant_windows": [[0.0, 10.0, 0.9]]},
+            {"qid": "b", "pred_relevant_windows": []},
+        ]
+        r1 = compute_mr_r1(sub, gold)
+        assert r1["0.5"] == 50.0  # a hits, b is a guarded miss
+        mr = eval_moment_retrieval(sub, gold)
+        assert mr["full"]["MR-R1"]["0.5"] == 50.0
+
 
 class TestCaptioning:
     def test_ptb_tokenize(self):

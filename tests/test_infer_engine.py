@@ -514,6 +514,30 @@ class TestAppendFrames:
         assert got[0] == want[0], "responses diverged"
         assert len(chunked.frame_latencies_ms) == 11
 
+    def test_grounding_drain_false_leaves_tail(self):
+        """`inference(drain=False)` on the pipelined grounding loop must
+        STOP at the last full block (no due query), leaving the tail for
+        the next `append_frame_embeds` — the chunk-boundary contract
+        `stream_video` relies on. (Regression: a local shadowing the
+        ``drain`` parameter made the early-stop check dead, so chunk
+        tails always degraded to single-frame dispatches.)"""
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(29), (10, CFG.frame_num_tokens,
+                                     CFG.text.hidden_size)) * 0.03
+        eng = self._build(True)
+        assert eng.pipeline_grounding and eng.block_frames == 4
+        eng.set_fps(2.0)
+        eng.input_frame_embeds(embeds)
+        eng.inference(drain=False)
+        # frame 0 steps alone (start-of-dialog joiner), then two full
+        # blocks of 4: 9 frames run, the 1-frame tail waits
+        assert len(eng.debug_data_list) == 9
+        eng.append_frame_embeds(embeds[:2])  # tail 1 + 2 = 3 < block: waits
+        eng.inference(drain=False)
+        assert len(eng.debug_data_list) == 9
+        eng.inference()  # final drain processes everything left
+        assert len(eng.debug_data_list) == 12
+
     def test_append_pixels_matches_input_video_stream(self):
         r = np.random.RandomState(5)
         px = r.randint(0, 255, (6, 32, 32, 3), np.uint8)
