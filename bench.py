@@ -495,7 +495,8 @@ def decoder_matmul_flops_per_token(text) -> float:
     return 2.0 * text.num_layers * per_layer
 
 
-def run_train_step(layers: int, T: int = 2048, accum: int = 1):
+def run_train_step(layers: int, T: int = 2048, accum: int = 1,
+                   use_flash="auto"):
     """LoRA fine-tune step throughput at layer-scaled 7B shapes through
     the REAL `train.step.make_train_step` (grad-accum scan, AdamW on
     LoRA+projector+heads, non-finite guard, remat) — the reference
@@ -547,7 +548,7 @@ def run_train_step(layers: int, T: int = 2048, accum: int = 1):
     lora = init_lora(jax.random.fold_in(rng, 3), text, rank=args.lora_r,
                      dtype=jnp.float32)
     state = init_train_state(params, lora, tx)
-    step = make_train_step(cfg, args, tx, sched)
+    step = make_train_step(cfg, args, tx, sched, use_flash=use_flash)
 
     r = np.random.RandomState(0)
     ids = r.randint(0, text.vocab_size - 2, size=(accum, 1, T))
