@@ -197,55 +197,21 @@ class LiveInferEngine:
         eos_id = tokenizer.eos_token_id
 
         def _generate(params, lora, embeds, k, v, cache_len, t_real, pen_mask):
-            """Prefill the generation prompt then greedy-decode on device."""
+            """Prefill the generation prompt then greedy-decode on device.
 
-            def penalized(logits, mask):
-                if rep is None:
-                    return logits
-                pen = jnp.where(logits > 0, logits / rep, logits * rep)
-                return jnp.where(mask, pen, logits)
-
-            out = mmduet.step_forward(
+            `mmduet.decode_loop` carries only a (L, 1, kh, max_new, hd)
+            scratch through the decode while-loop — the big cache is a
+            loop invariant (carrying it made XLA double-buffer ~GBs of
+            HBM at protocol-scale cache sizes)."""
+            packed, cache, pen_out = mmduet.decode_loop(
                 params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
-                lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
-                use_flash=use_flash,
-            )
-            cache = out.kv_cache
-            cursor = cache_len + t_real
-            out_buf = jnp.zeros((max_new,), jnp.int32)
-
-            tok0 = jnp.argmax(penalized(out.last_logits[0], pen_mask)).astype(jnp.int32)
-            out_buf = out_buf.at[0].set(tok0)
-            done0 = tok0 == eos_id
-            pen_mask = jnp.where(done0, pen_mask, pen_mask.at[tok0].set(True))
-
-            def cond(s):
-                return (~s[5]) & (s[4] < max_new)
-
-            def body(s):
-                cache, cursor, last_tok, buf, i, done, mask = s
-                emb = embed_tokens(params["decoder"], last_tok[None, None], V)
-                o = mmduet.step_forward(
-                    params, cfg, emb, cache, cursor, jnp.int32(1),
-                    lora=lora, lora_scale=lora_scale, compute_lm_logits=True,
-                    use_flash=use_flash,
-                )
-                tok = jnp.argmax(penalized(o.last_logits[0], mask)).astype(jnp.int32)
-                buf = buf.at[i].set(tok)
-                mask = jnp.where(tok == eos_id, mask, mask.at[tok].set(True))
-                return (o.kv_cache, cursor + 1, tok, buf, i + 1, tok == eos_id, mask)
-
-            cache, cursor, _, out_buf, n, _, pen_mask = jax.lax.while_loop(
-                cond, body, (cache, cursor, tok0, out_buf, 1, done0, pen_mask)
+                pen_mask[None], max_new=max_new, eos_id=eos_id, rep=rep,
+                lora=lora, lora_scale=lora_scale, use_flash=use_flash,
             )
             cache = _pin_kv(cache)
             # tokens + n + cursor packed into ONE (max_new+2,) array — a
             # single host fetch per generation instead of two round trips
-            packed = jnp.concatenate(
-                [out_buf, n[None].astype(jnp.int32),
-                 cursor[None].astype(jnp.int32)]
-            )
-            return packed, cache.k, cache.v, pen_mask
+            return packed[0], cache.k, cache.v, pen_out[0]
 
         self._generate = jax.jit(_generate, donate_argnums=(3, 4))
 

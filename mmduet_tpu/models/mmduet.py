@@ -403,3 +403,131 @@ def frames_block_forward(
         _head(params["relevance_head"], last)[0], axis=-1
     )[:, 1]
     return inf, rel, kv_cache
+
+
+def decode_loop(
+    params: Params,
+    cfg: MMDuetConfig,
+    embeds: jax.Array,  # (B, t, H) generation-prompt chunk (padded)
+    kv_cache: KVCache,
+    cache_len: jax.Array,  # (B,) int32 per-lane cursors (or scalar)
+    t_real: jax.Array,  # (B,) int32 real prompt tokens (or scalar)
+    pen_mask: jax.Array,  # (B, V) bool repetition-penalty token set
+    active: Optional[jax.Array] = None,  # (B,) bool; False = frozen lane
+    *,
+    max_new: int,
+    eos_id: int,
+    rep: Optional[float] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_flash: Optional[bool] = None,
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """Prompt prefill + device-side greedy decode, shared by both engines
+    (the reference's HF `model.generate` call, `test/inference.py:250-255`,
+    with the repetition penalty as a device bitmask).
+
+    The big preallocated cache is written exactly TWICE — by the prompt
+    prefill and by one post-loop commit — and is a loop INVARIANT inside
+    the `lax.while_loop`. Carrying the (L, B, kh, ~20k, hd) cache through
+    the loop carry made XLA double-buffer it (+2·cache bytes of HBM; the
+    measured OOM that capped batched generation at B=2 per chip,
+    BENCH_r04): the loop instead carries a (L, B, kh, max_new, hd)
+    SCRATCH holding only the generated tokens' K/V, and each step attends
+    [cache, read-only] + [scratch + current token] via the split
+    attention's query offset (`qwen2_forward(scratch=...)`).
+
+    Frozen (``active=False``) lanes run the forwards but commit nothing:
+    their buf/cursor/penalty updates are masked, and their scratch rows
+    are garbage committed beyond their frozen cursor — the batched
+    engine's established garbage zone. The caller must guarantee
+    ``cache_len[b] + t + max_new <= S`` for EVERY lane (frozen included —
+    the commit writes the full ``max_new`` window; a clamped
+    `dynamic_update_slice` start would corrupt committed history).
+
+    Returns ``(packed (B, max_new+2) [tokens | n | final cursor],
+    updated cache, updated pen_mask)``.
+    """
+    B, t, _ = embeds.shape
+    V = cfg.text.vocab_size
+    if active is None:
+        active = jnp.ones((B,), bool)
+    cl = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    tr = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
+
+    def penalized(logits, mask):
+        if rep is None:
+            return logits
+        pen = jnp.where(logits > 0, logits / rep, logits * rep)
+        return jnp.where(mask, pen, logits)
+
+    out = step_forward(
+        params, cfg, embeds, kv_cache, cl, tr, lora=lora,
+        lora_scale=lora_scale, compute_lm_logits=True, use_flash=use_flash,
+    )
+    cache = out.kv_cache  # prompt committed; read-only from here to the end
+    base = jnp.where(active, cl + tr, cl)
+
+    tok0 = jnp.argmax(
+        penalized(out.last_logits, pen_mask), axis=-1
+    ).astype(jnp.int32)
+    buf = jnp.zeros((B, max_new), jnp.int32)
+    buf = buf.at[:, 0].set(jnp.where(active, tok0, 0))
+    done = (tok0 == eos_id) | ~active
+    upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok0)
+    pen_mask = jnp.where((active & (tok0 != eos_id))[:, None], upd, pen_mask)
+    n = jnp.where(active, 1, 0)
+
+    L, _, kh, _, hd = cache.k.shape
+    scratch_k = jnp.zeros((L, B, kh, max_new, hd), cache.k.dtype)
+    scratch_v = jnp.zeros((L, B, kh, max_new, hd), cache.v.dtype)
+    dec = params["decoder"]
+
+    def cond(s):
+        return jnp.any(~s[6]) & (s[5] < max_new)
+
+    def body(s):
+        sk, sv, cursor, last_tok, buf, i, done, n, mask = s
+        emb = qwen2.embed_tokens(dec, last_tok[:, None], V).astype(embeds.dtype)
+        hidden, scr = qwen2.qwen2_forward(
+            dec, cfg.text, emb, cursor[:, None], kv_cache=cache,
+            cache_len=base, lora=lora, lora_scale=lora_scale,
+            t_real=jnp.int32(1), use_flash=use_flash,
+            scratch=KVCache(sk, sv), scratch_len=i - 1,
+        )
+        logits = qwen2.lm_logits(params["lm_head"], hidden[:, :1])[:, 0]
+        tok = jnp.argmax(penalized(logits, mask), axis=-1).astype(jnp.int32)
+        buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
+        upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
+        mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
+        n = jnp.where(done, n, i + 1)
+        cursor = jnp.where(done, cursor, cursor + 1)
+        last_tok = jnp.where(done, last_tok, tok)
+        done = done | (tok == eos_id)
+        return (scr.k, scr.v, cursor, last_tok, buf, i + 1, done, n, mask)
+
+    sk, sv, cursor, _, buf, _, _, n, pen_mask = jax.lax.while_loop(
+        cond, body,
+        (scratch_k, scratch_v, base, tok0, buf, jnp.int32(1), done, n,
+         pen_mask),
+    )
+    # ONE commit of the scratch into the big cache at each lane's post-
+    # prompt cursor; slots beyond a lane's fed count hold garbage that
+    # lands in its garbage zone (see capacity contract above)
+    if B == 1:
+        k_out = jax.lax.dynamic_update_slice(
+            cache.k, sk, (0, 0, 0, base[0], 0)
+        )
+        v_out = jax.lax.dynamic_update_slice(
+            cache.v, sv, (0, 0, 0, base[0], 0)
+        )
+    else:
+        upd2 = jax.vmap(
+            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (0, 0, s, 0)),
+            in_axes=(1, 1, 0), out_axes=1,
+        )
+        k_out = upd2(cache.k, sk, base)
+        v_out = upd2(cache.v, sv, base)
+    packed = jnp.concatenate(
+        [buf, n[:, None].astype(jnp.int32), cursor[:, None]], axis=1
+    )
+    return packed, KVCache(k=k_out, v=v_out), pen_mask

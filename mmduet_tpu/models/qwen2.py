@@ -164,19 +164,23 @@ def _attend_split(
     q: jax.Array,  # (B, T, nh, hd)
     kc: jax.Array,  # (B, kh, S, hd) — head-major cache slice (READ-ONLY)
     vc: jax.Array,  # (B, kh, S, hd)
-    ck: jax.Array,  # (B, kh, T, hd) — this chunk's K
-    cv: jax.Array,  # (B, kh, T, hd)
+    ck: jax.Array,  # (B, kh, Tc, hd) — the chunk's K (Tc >= T)
+    cv: jax.Array,  # (B, kh, Tc, hd)
     cache_len: jax.Array,  # (B,) int32: committed cache tokens per lane
     t_real: jax.Array,  # (B,) int32: real tokens in each lane's chunk
+    q_offset: Optional[jax.Array] = None,  # (B,) int32: chunk position of
+    # query row 0 (scratch decode: chunk slots 0..q_offset-1 hold
+    # already-generated tokens' K/V); None = 0
 ) -> jax.Array:
     """jnp fallback for the split cache/chunk streaming attention: per
     lane, one softmax over [cache slots < cache_len[b]] + [the chunk,
-    causal]. Bit-equivalent to writing the chunk at ``cache_len`` and
-    attending with the position mask (the flash kernel computes the same
-    split)."""
+    causal — query row t attends chunk cols <= q_offset + t]. Bit-
+    equivalent to writing the chunk at ``cache_len`` and attending with
+    the position mask (the flash kernel computes the same split)."""
     B, T, nh, hd = q.shape
     kh = kc.shape[1]
     S = kc.shape[2]
+    Tc = ck.shape[2]
     group = nh // kh
     qr = q.reshape(B, T, kh, group, hd)
     s_cache = jnp.einsum(
@@ -193,10 +197,14 @@ def _attend_split(
         < cache_len[:, None, None, None, None],
         s_cache, -1e30,
     )
-    col = jnp.arange(T)
-    cmask = (col[None, None, :] <= col[None, :, None]) & (
-        col[None, None, :] < t_real[:, None, None]
-    )  # (B, T, T)
+    if q_offset is None:
+        q_offset = jnp.zeros_like(cache_len)
+    col = jnp.arange(Tc)
+    row = jnp.arange(T)
+    cmask = (
+        col[None, None, :]
+        <= q_offset[:, None, None] + row[None, :, None]
+    ) & (col[None, None, :] < t_real[:, None, None])  # (B, T, Tc)
     s_chunk = jnp.where(cmask[:, None, None], s_chunk, -1e30)
     probs = jax.nn.softmax(
         jnp.concatenate([s_cache, s_chunk], axis=-1), axis=-1
@@ -231,6 +239,8 @@ def qwen2_forward(
     t_real: Optional[jax.Array] = None,  # real tokens in chunk (streaming)
     use_flash: Optional[bool] = None,  # None = auto (TPU streaming B=1)
     scan_unroll: int = 1,  # lax.scan unroll over layers (latency/compile-time knob)
+    scratch: Optional[KVCache] = None,  # (L, B, kh, M, hd) decode scratch
+    scratch_len: Optional[jax.Array] = None,  # scalar int32: tokens in it
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Two modes:
 
@@ -246,7 +256,18 @@ def qwen2_forward(
       batched protocol scale); the single post-scan update aliases the
       donated buffer in place.
 
-    Returns (hidden_states (B,T,H), updated cache or None).
+    **Scratch decode** (streaming + ``scratch`` given): the BIG cache is
+    fully read-only — the chunk's K/V go into the small ``scratch`` at
+    ``scratch_len`` instead, and attention runs over [cache slots <
+    cache_len] + [scratch tokens + the chunk, causal at chunk position
+    ``scratch_len``+t]. The generation `lax.while_loop` carries only the
+    scratch this way; carrying the big cache made XLA double-buffer it
+    (+2·cache bytes of HBM — the OOM that capped batched generation at
+    B=2 on one chip, BENCH_r04). The returned KVCache is the UPDATED
+    SCRATCH; the caller commits it into the big cache once, after the
+    loop (`mmduet.decode_loop`).
+
+    Returns (hidden_states (B,T,H), updated cache / scratch or None).
     """
     B, T, H = embeds.shape
     cos, sin = _rope_angles(positions, cfg.head_dim, cfg.rope_theta)
@@ -272,6 +293,10 @@ def qwen2_forward(
             jnp.asarray(cache_len, jnp.int32), (B,)
         )
         t_real_b = jnp.broadcast_to(jnp.asarray(t_real, jnp.int32), (B,))
+        s_len = (
+            jnp.asarray(scratch_len, jnp.int32) if scratch is not None
+            else None
+        )
         mask = None
     else:
         if use_flash is None:
@@ -337,6 +362,28 @@ def qwen2_forward(
             # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd)
             k_hm = k.transpose(0, 2, 1, 3).astype(kv_cache.k.dtype)
             v_hm = v.transpose(0, 2, 1, 3).astype(kv_cache.v.dtype)
+            if scratch is not None:
+                # scratch decode: the chunk operand becomes [generated
+                # tokens' K/V ++ this chunk] — a small (B, kh, M, hd)
+                # per-layer materialization (the big cache is untouched)
+                sk_lay = jax.lax.dynamic_index_in_dim(
+                    scratch.k, layer, 0, keepdims=False
+                )
+                sv_lay = jax.lax.dynamic_index_in_dim(
+                    scratch.v, layer, 0, keepdims=False
+                )
+                ck_op = jax.lax.dynamic_update_slice(
+                    sk_lay, k_hm, (0, 0, s_len, 0)
+                )
+                cv_op = jax.lax.dynamic_update_slice(
+                    sv_lay, v_hm, (0, 0, s_len, 0)
+                )
+                tr_att = s_len + t_real_b
+                q_off = jnp.broadcast_to(s_len, (B,))
+            else:
+                ck_op, cv_op = k_hm, v_hm
+                tr_att = t_real_b
+                q_off = None
             if use_flash:
                 from ..ops.attention import flash_decode_attention
 
@@ -346,8 +393,8 @@ def qwen2_forward(
                 # blocks below each lane's cursor are read
                 attn = flash_decode_attention(
                     q, kv_cache.k, kv_cache.v,
-                    k_hm.astype(q.dtype), v_hm.astype(q.dtype),
-                    cache_len_b, t_real_b, layer,
+                    ck_op.astype(q.dtype), cv_op.astype(q.dtype),
+                    cache_len_b, tr_att, layer, q_offset=q_off,
                 )
             else:
                 k_lay = jax.lax.dynamic_index_in_dim(
@@ -357,7 +404,8 @@ def qwen2_forward(
                     kv_cache.v, layer, 0, keepdims=False
                 )
                 attn = _attend_split(
-                    q, k_lay, v_lay, k_hm, v_hm, cache_len_b, t_real_b
+                    q, k_lay, v_lay, ck_op, cv_op, cache_len_b, tr_att,
+                    q_offset=q_off,
                 )
             new_kv = (k_hm, v_hm)
         elif use_flash:
@@ -390,6 +438,17 @@ def qwen2_forward(
     hidden, chunk_kv = jax.lax.scan(layer_body, embeds, xs, unroll=scan_unroll)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
 
+    if kv_cache is not None and scratch is not None:
+        # scratch decode: commit the chunk K/V into the SCRATCH (scalar
+        # start — the generation step count is lane-invariant); the big
+        # cache is returned to the caller untouched, read-only
+        k_out = jax.lax.dynamic_update_slice(
+            scratch.k, chunk_kv[0], (0, 0, 0, s_len, 0)
+        )
+        v_out = jax.lax.dynamic_update_slice(
+            scratch.v, chunk_kv[1], (0, 0, 0, s_len, 0)
+        )
+        return hidden, KVCache(k=k_out, v=v_out)
     if kv_cache is not None:
         # ONE in-place (donated-buffer-aliased) bucket-wide write of every
         # layer's chunk K/V; padded tail slots hold garbage that the next

@@ -83,6 +83,7 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
     nj = pl.num_programs(3)
     cache_len = valid_ref[b, 0]
     t_real = valid_ref[b, 1]
+    q_off = valid_ref[b, 3]
 
     def _accumulate(s, v):
         """Online-softmax accumulation of one scored block."""
@@ -120,7 +121,10 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
             jax.lax.broadcasted_iota(jnp.int32, (block_rows, tc), 0)
             + qb * block_rows
         )
-        t_idx = row % q_len
+        # q_off: query rows sit at chunk positions q_off + t (scratch
+        # decode — slots 0..q_off-1 of the chunk operand hold already-
+        # generated tokens' K/V); 0 in normal streaming
+        t_idx = q_off + row % q_len
         mask = (col <= t_idx) & (col < t_real)
         s = jnp.where(mask, s, NEG_INF)
         m0 = jnp.max(s, axis=1, keepdims=True)
@@ -170,6 +174,9 @@ def flash_decode_attention(
     cache_len: jax.Array,  # (B,) int32: committed tokens per lane
     t_real: jax.Array,  # (B,) int32: real tokens in each lane's chunk
     layer: jax.Array,  # scalar int32: layer into the stacked cache
+    q_offset: Optional[jax.Array] = None,  # (B,) int32: chunk position of
+    # query row 0 (scratch decode: generated-token K/V occupy chunk slots
+    # 0..q_offset-1 and the queries sit after them); None = 0
     block_s: int = 2048,  # 512-blocks quadruple the grid-step count and
     # per-step DMA overhead then dominates long-cache attention (measured
     # ~1 ms per 1k live slots vs the ~0.05 ms bandwidth floor)
@@ -227,14 +234,17 @@ def flash_decode_attention(
         qr = jnp.concatenate(
             [qr, jnp.zeros((B, kh, rows_padded - rows, hd), qr.dtype)], axis=2
         )
+    if q_offset is None:
+        q_offset = jnp.zeros_like(cache_len)
     valid = jnp.stack(
         [
             cache_len.astype(jnp.int32),
             t_real.astype(jnp.int32),
             jnp.broadcast_to(layer.astype(jnp.int32), cache_len.shape),
+            jnp.broadcast_to(q_offset.astype(jnp.int32), cache_len.shape),
         ],
         axis=1,
-    )  # (B, 3)
+    )  # (B, 4)
 
     njc = S // block_s  # cache blocks; grid step 0 handles the chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(

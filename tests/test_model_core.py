@@ -371,3 +371,128 @@ class TestReviewRegressions:
                 np.asarray(one_cache.k[:, 0, :, cl : cl + tr]),
                 atol=1e-6, err_msg=f"lane {b} cache write",
             )
+
+
+class TestDecodeLoop:
+    """`mmduet.decode_loop` (scratch-cache decode: the big cache is a
+    while-loop INVARIANT; generated tokens' K/V ride a small scratch and
+    commit once post-loop) vs a naive write-into-the-big-cache greedy
+    decode built from `step_forward` — tokens, counts, cursors, penalty
+    masks, and the committed cache region must all match."""
+
+    def _naive(self, embeds, cache, cl, t, pen_mask, active,
+               max_new, eos_id, rep):
+        from mmduet_tpu.models import mmduet
+
+        B = embeds.shape[0]
+        V = CFG.text.vocab_size
+
+        def penal(logits, mask):
+            if rep is None:
+                return logits
+            pen = jnp.where(logits > 0, logits / rep, logits * rep)
+            return jnp.where(mask, pen, logits)
+
+        out = step_forward(
+            PARAMS, CFG, embeds, cache, cl, jnp.int32(t),
+            compute_lm_logits=True,
+        )
+        cache = out.kv_cache
+        cursor = jnp.where(active, cl + t, cl)
+        tok = jnp.argmax(penal(out.last_logits, pen_mask), -1).astype(jnp.int32)
+        buf = np.zeros((B, max_new), np.int32)
+        buf[:, 0] = np.where(np.asarray(active), np.asarray(tok), 0)
+        done = (tok == eos_id) | ~active
+        upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok)
+        pen_mask = jnp.where(
+            (active & (tok != eos_id))[:, None], upd, pen_mask
+        )
+        n = np.where(np.asarray(active), 1, 0)
+        for i in range(1, max_new):
+            if bool(jnp.all(done)):
+                break
+            emb = embed_tokens(PARAMS["decoder"], tok[:, None], V)
+            o = step_forward(
+                PARAMS, CFG, emb, cache, cursor, jnp.int32(1),
+                compute_lm_logits=True,
+            )
+            cache = o.kv_cache
+            new = jnp.argmax(penal(o.last_logits, pen_mask), -1).astype(jnp.int32)
+            buf[:, i] = np.where(np.asarray(done), buf[:, i], np.asarray(new))
+            upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, new)
+            pen_mask = jnp.where(
+                (~done & (new != eos_id))[:, None], upd, pen_mask
+            )
+            n = np.where(np.asarray(done), n, i + 1)
+            cursor = jnp.where(done, cursor, cursor + 1)
+            tok = jnp.where(done, tok, new)
+            done = done | (new == eos_id)
+        return buf, n, np.asarray(cursor), pen_mask, cache
+
+    def _run(self, B, cls, active, eos_id, rep, max_new=6, t=3):
+        from mmduet_tpu.models import mmduet
+
+        V = CFG.text.vocab_size
+        rng = jax.random.PRNGKey(7)
+        ids = _rand_ids(rng, (B, t))
+        embeds = embed_tokens(PARAMS["decoder"], ids, V)
+        S = 64
+        cache = init_kv_cache(CFG.text, B, S, dtype=jnp.float32)
+        # seed differing committed history per lane
+        hist = embed_tokens(PARAMS["decoder"], _rand_ids(jax.random.PRNGKey(8), (B, max(cls))), V)
+        out = step_forward(PARAMS, CFG, hist, cache, jnp.int32(0),
+                           jnp.int32(max(cls)), compute_lm_logits=False)
+        cl = jnp.asarray(cls, jnp.int32)
+        act = jnp.asarray(active, bool)
+        pen0 = jnp.zeros((B, V), bool)
+
+        packed, got_cache, got_pen = mmduet.decode_loop(
+            PARAMS, CFG, embeds, out.kv_cache, cl, jnp.int32(t), pen0, act,
+            max_new=max_new, eos_id=eos_id, rep=rep,
+        )
+        buf, n, cursor, ref_pen, ref_cache = self._naive(
+            embeds, out.kv_cache, cl, t, pen0, act, max_new, eos_id, rep
+        )
+        packed = np.asarray(packed)
+        np.testing.assert_array_equal(packed[:, :max_new], buf)
+        np.testing.assert_array_equal(packed[:, max_new], n)
+        np.testing.assert_array_equal(packed[:, max_new + 1], cursor)
+        np.testing.assert_array_equal(np.asarray(got_pen), np.asarray(ref_pen))
+        # committed region (slots < final cursor) must match the naive
+        # write-through cache; beyond is the garbage zone by contract
+        for b in range(B):
+            c = int(cursor[b])
+            np.testing.assert_allclose(
+                np.asarray(got_cache.k)[:, b, :, :c],
+                np.asarray(ref_cache.k)[:, b, :, :c],
+                atol=1e-5, err_msg=f"lane {b} K",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_cache.v)[:, b, :, :c],
+                np.asarray(ref_cache.v)[:, b, :, :c],
+                atol=1e-5, err_msg=f"lane {b} V",
+            )
+        return buf, n
+
+    def test_batched_no_eos(self):
+        """B=3, per-lane cursors, one frozen lane, no eos hit."""
+        buf, n = self._run(
+            B=3, cls=(5, 9, 7), active=(True, True, False),
+            eos_id=-1, rep=1.25,
+        )
+        assert n[2] == 0 and (buf[2] == 0).all()  # frozen lane untouched
+        assert n[0] == 6 and n[1] == 6  # ran to max_new
+
+    def test_batched_eos_early_exit(self):
+        """eos chosen from a dry run so one lane stops early while the
+        other keeps decoding (per-lane done masking)."""
+        buf, _ = self._run(B=2, cls=(4, 11), active=(True, True),
+                           eos_id=-1, rep=None)
+        eos = int(buf[0, 2])  # force lane 0 done at step 3
+        buf2, n2 = self._run(B=2, cls=(4, 11), active=(True, True),
+                             eos_id=eos, rep=None)
+        assert n2[0] <= 3 or n2[1] <= 5  # someone exited early
+
+    def test_single_stream(self):
+        """B=1 takes the scalar-start commit path."""
+        self._run(B=1, cls=(6,), active=(True,), eos_id=-1, rep=1.05)

@@ -207,3 +207,93 @@ class TestFullSequenceFlash:
 
         g = jax.grad(loss)(q)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def _jnp_reference_qoff(q, k_hist, v_hist, ck, cv, cache_len, t_real, q_off):
+    """Write-then-attend reference for SCRATCH DECODE: the chunk operand's
+    slots 0..q_off-1 hold already-generated tokens' K/V and the T query
+    rows sit at chunk positions q_off..q_off+T-1 (`mmduet.decode_loop`).
+    Equivalent cache view: write chunk[:t_real] at cache_len; query t's
+    position is cache_len + q_off + t."""
+    T, nh, hd = q.shape
+    kh, S, _ = k_hist.shape
+    k = np.asarray(k_hist, np.float32).copy()
+    v = np.asarray(v_hist, np.float32).copy()
+    tr = int(t_real)
+    k[:, cache_len : cache_len + tr] = np.asarray(ck, np.float32)[:, :tr]
+    v[:, cache_len : cache_len + tr] = np.asarray(cv, np.float32)[:, :tr]
+    g = nh // kh
+    qr = np.asarray(q, np.float32).reshape(T, kh, g, hd)
+    scores = np.einsum("tkgh,ksh->kgts", qr, k) / np.sqrt(hd)
+    pos = cache_len + q_off + np.arange(T)[:, None]
+    slot = np.arange(S)[None, :]
+    mask = (slot <= pos) & (slot < cache_len + tr)
+    scores = np.where(mask[None, None], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    out = np.einsum("kgts,ksh->tkgh", p, v)
+    return out.reshape(T, nh, hd)
+
+
+@pytest.mark.parametrize("cache_len,q_off", [(0, 0), (512, 5), (900, 31)])
+def test_q_offset_scratch_decode(cache_len, q_off):
+    """Scratch-decode geometry: one query row behind q_off generated
+    tokens held in the chunk operand (kernel + jnp split path)."""
+    from mmduet_tpu.models.qwen2 import _attend_split
+
+    T, nh, kh, hd, S = 1, 8, 2, 128, 1024
+    Tc = 32  # scratch capacity (chunk operand width > query rows)
+    rng = np.random.RandomState(11)
+    q = jnp.array(rng.randn(1, T, nh, hd), jnp.float32) * 0.1
+    k = jnp.array(rng.randn(1, 1, kh, S, hd), jnp.float32) * 0.1
+    v = jnp.array(rng.randn(1, 1, kh, S, hd), jnp.float32) * 0.1
+    ck = jnp.array(rng.randn(1, kh, Tc, hd), jnp.float32) * 0.1
+    cv = jnp.array(rng.randn(1, kh, Tc, hd), jnp.float32) * 0.1
+    t_real = q_off + T  # generated prefix + the current token
+
+    ref = _jnp_reference_qoff(
+        q[0], k[0, 0], v[0, 0], ck[0], cv[0], cache_len, t_real, q_off
+    )
+    out_k = flash_decode_attention(
+        q, k, v, ck, cv, _vec(cache_len), _vec(t_real), jnp.int32(0),
+        q_offset=_vec(q_off), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k)[0], ref, atol=2e-3, rtol=1e-3
+    )
+    out_j = _attend_split(
+        q, k[0], v[0], ck, cv, _vec(cache_len), _vec(t_real),
+        q_offset=_vec(q_off),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j)[0], ref, atol=2e-3, rtol=1e-3
+    )
+
+
+def test_q_offset_per_lane():
+    """Per-lane q_offset (batched scratch decode: lanes share the step
+    count but differ in cursors; frozen lanes are masked upstream)."""
+    T, nh, kh, hd, S = 1, 4, 2, 128, 1024
+    Tc = 16
+    rng = np.random.RandomState(13)
+    B = 3
+    q = jnp.array(rng.randn(B, T, nh, hd), jnp.float32) * 0.1
+    k = jnp.array(rng.randn(1, B, kh, S, hd), jnp.float32) * 0.1
+    v = jnp.array(rng.randn(1, B, kh, S, hd), jnp.float32) * 0.1
+    ck = jnp.array(rng.randn(B, kh, Tc, hd), jnp.float32) * 0.1
+    cv = jnp.array(rng.randn(B, kh, Tc, hd), jnp.float32) * 0.1
+    cls = (0, 513, 1000)
+    q_offs = (0, 4, 9)
+    trs = tuple(o + T for o in q_offs)
+    out = flash_decode_attention(
+        q, k, v, ck, cv, _vec(*cls), _vec(*trs), jnp.int32(0),
+        q_offset=_vec(*q_offs), interpret=True,
+    )
+    for b in range(B):
+        ref = _jnp_reference_qoff(
+            q[b], k[0, b], v[0, b], ck[b], cv[b], cls[b], trs[b], q_offs[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[b], ref, atol=2e-3, rtol=1e-3,
+            err_msg=f"lane {b}",
+        )
