@@ -82,8 +82,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(one weight sweep per step serves every stream; "
                         "identical per-sample outputs; per-stream "
                         "clocks, so mixed-fps samples batch together). "
-                        "Requires a merged checkpoint "
-                        "(no runtime LoRA) and --mesh_model 1")
+                        "Requires a merged checkpoint (no runtime "
+                        "LoRA); composes with --mesh_model N (TP x "
+                        "batched serving)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
@@ -276,12 +277,11 @@ def _run_batched(args) -> None:
             "--batch_streams needs a merged checkpoint (runtime LoRA is "
             "single-stream only); re-convert with --merge"
         )
-    if args.mesh_model > 1:
-        raise SystemExit("--batch_streams and --mesh_model are exclusive")
+    params, mesh = _maybe_shard_tp(params, args.mesh_model)
     test_args = _test_args(args, cfg)
     B = args.batch_streams
     engine = BatchedStreamEngine(
-        params, cfg, tokenizer, test_args, n_streams=B,
+        params, cfg, tokenizer, test_args, n_streams=B, mesh=mesh,
         # same block policy as the single engine: grounding never
         # generates, so a trigger never rolls frames back and a big
         # fused block is a pure win

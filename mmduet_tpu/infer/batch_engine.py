@@ -64,11 +64,37 @@ class BatchedStreamScorer:
         system_prompt: Optional[str] = None,
         kv_cache_size: Optional[int] = None,
         dtype=None,
+        mesh=None,
     ):
+        """``mesh``: a (data, model) `jax.sharding.Mesh` for tensor-
+        parallel BATCHED serving — shard ``params`` with
+        `parallel.shard_params(params, mesh)` first (same Megatron-layout
+        TP contract as `LiveInferEngine`). The (L, B, kh, S, hd) caches
+        shard on their kv-head dim; chunk activations are pinned to one
+        canonical replicated sharding so every jit entry is prewarmable
+        (`infer/engine.py:90-101` rationale); the Pallas kernel is
+        bypassed (the jnp split attention partitions via GSPMD). TP x
+        batching is the v5e-8 production config: B sessions AND a model
+        too big for one chip's HBM."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.B = n_streams
+        self.mesh = mesh
+        model_n = mesh.shape.get("model", 1) if mesh is not None else 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.sharding import kv_cache_sharding
+
+            self._act_sharding = NamedSharding(mesh, PartitionSpec())
+            self._kv_sh = kv_cache_sharding(mesh, cfg.text.num_kv_heads)
+        else:
+            self._act_sharding = None
+            self._kv_sh = None
+        # None = auto (single-chip TPU picks the pallas kernel); TP uses
+        # the GSPMD-partitionable jnp attention path
+        self._use_flash = False if model_n > 1 else None
         # non-positive = the CLI's auto sentinel (real per-stream rates
         # then arrive via set_stream_fps, defined below)
         self.frame_fps = frame_fps if frame_fps > 0 else 1.0
@@ -91,15 +117,30 @@ class BatchedStreamScorer:
         # per shape on this backend, vs seconds for the explicit lane
         # grid inside the kernel.
 
+        use_flash = self._use_flash
+        kv_sh = self._kv_sh
+
+        def _pin_kv(cache: KVCache) -> KVCache:
+            """Pin cache outputs to the canonical (reset) sharding so it
+            never drifts across the serving fns (engine `_pin_kv`)."""
+            if kv_sh is None:
+                return cache
+            return KVCache(
+                jax.lax.with_sharding_constraint(cache.k, kv_sh),
+                jax.lax.with_sharding_constraint(cache.v, kv_sh),
+            )
+
         def _prefix_fn(params, embeds, k, v, cache_len, t_real):
             """Feed every stream's (padded) prefix chunk."""
             out = mmduet.step_forward(
                 params, cfg, embeds, KVCache(k, v), cache_len, t_real,
-                compute_lm_logits=False, use_flash=None,
+                compute_lm_logits=False, use_flash=use_flash,
             )
-            return out.kv_cache.k, out.kv_cache.v
+            out_kv = _pin_kv(out.kv_cache)
+            return out_kv.k, out_kv.v
 
         self._prefix_b = jax.jit(_prefix_fn, donate_argnums=(2, 3))
+        self._pin_kv = _pin_kv  # for the engine subclass's serving fns
 
         def _block_fn(params, frames, k, v, cache_len):
             """Score a lockstep (B, K, ft, H) frame block: probs (B,2,K)."""
@@ -107,8 +148,9 @@ class BatchedStreamScorer:
             pos = (jnp.arange(K) + 1) * ft - 1
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg, frames.reshape(Bn, K * ft, H), KVCache(k, v),
-                cache_len, jnp.int32(K * ft), pos, use_flash=None,
+                cache_len, jnp.int32(K * ft), pos, use_flash=use_flash,
             )
+            cache = _pin_kv(cache)
             # (B, 2, K): ONE host transfer per block for all scores
             return probs, cache.k, cache.v
 
@@ -138,6 +180,11 @@ class BatchedStreamScorer:
         cache = init_kv_cache(
             self.cfg.text, self.B, self._cache_size, self.dtype
         )
+        if self._kv_sh is not None:
+            cache = KVCache(
+                jax.device_put(cache.k, self._kv_sh),
+                jax.device_put(cache.v, self._kv_sh),
+            )
         self._k, self._v = cache.k, cache.v
         self._cursor = np.zeros((self.B,), np.int64)  # host-authoritative
         self._frame_embeds: Optional[jnp.ndarray] = None
@@ -149,6 +196,16 @@ class BatchedStreamScorer:
         # host-side upper bound on the per-stream cursors, for capacity
         # checks (dynamic_update_slice would silently clamp on overflow)
         self._max_cursor = 0
+
+    def _pin(self, x):
+        """Pin a chunk to the canonical activation sharding (no-op off-
+        mesh): jit keys on input shardings, and chunk producers differ
+        (eager embed over a vocab-sharded table, the jitted vision
+        encode, host arrays) — without normalization each producer would
+        compile its own entry and `prewarm()` could never cover them."""
+        return x if self._act_sharding is None else jax.device_put(
+            x, self._act_sharding
+        )
 
     def set_stream_fps(self, fps: Sequence[float]) -> None:
         """Per-stream frame rates. Call after `reset()`, before feeding."""
@@ -182,9 +239,9 @@ class BatchedStreamScorer:
                 ))
             per_stream.append(ids)
         bucket = pick_bucket(max(len(ids) for ids in per_stream))
-        embeds = jnp.stack([
+        embeds = self._pin(jnp.stack([
             pad_chunk(self._embed_ids(ids), bucket) for ids in per_stream
-        ])
+        ]))
         t_real = jnp.asarray([len(ids) for ids in per_stream], jnp.int32)
         self._max_cursor += bucket  # bucket-wide writes: the overflow bound
         if self._max_cursor > self._cache_size:
@@ -225,7 +282,7 @@ class BatchedStreamScorer:
         frames of shorter streams are padding)."""
         embeds = jnp.asarray(embeds, self.dtype)
         assert embeds.shape[0] == self.B
-        self._frame_embeds = embeds
+        self._frame_embeds = self._pin(embeds)
         if lengths is not None:
             lengths = np.asarray(lengths)
             assert lengths.shape == (self.B,) and lengths.max() <= embeds.shape[1]
@@ -327,6 +384,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         system_prompt: Optional[str] = None,
         kv_cache_size: Optional[int] = None,
         dtype=None,
+        mesh=None,
     ):
         super().__init__(
             params, cfg, tokenizer,
@@ -337,6 +395,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             system_prompt=system_prompt or args.system_prompt,
             kv_cache_size=kv_cache_size,
             dtype=dtype,
+            mesh=mesh,
         )
         validate_threshold_args(args)
         self.args = args
@@ -355,6 +414,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
         eos_id = tokenizer.eos_token_id
         dtype_ = self.dtype
         ft_ = cfg_.frame_num_tokens
+        use_flash = self._use_flash
+        pin_kv = self._pin_kv
+        act_sh = self._act_sharding
         # chunk buckets: the per-lane scheduler's common shapes are a full
         # joiner-free K-frame block (K*ft exactly) and mixed rounds with
         # small joiners/queries on some lanes (K*ft + headroom); adding
@@ -376,80 +438,36 @@ class BatchedStreamEngine(BatchedStreamScorer):
             the GSPMD-friendly jnp path elsewhere."""
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg_, embeds, KVCache(k, v), cache_len, t_real,
-                score_pos, use_flash=None,
+                score_pos, use_flash=use_flash,
             )
+            cache = pin_kv(cache)
             return probs, cache.k, cache.v
 
         self._sched_b = jax.jit(_sched_fn, donate_argnums=(2, 3))
-
-        def _penalized(logits, mask):  # (B,V), (B,V) bool
-            if rep is None:
-                return logits
-            pen = jnp.where(logits > 0, logits / rep, logits * rep)
-            return jnp.where(mask, pen, logits)
 
         def _gen_batched(params, embeds, k, v, cache_len, pen_mask, active):
             """Batched greedy decode (engine `_generate` per lane).
 
             ``embeds`` (B, t, H) is the shared generation-prompt chunk;
-            lanes with ``active=False`` are frozen throughout. Per-lane
-            while-freezing is explicit (masked updates on the small carry
-            leaves); frozen lanes still run the forward but their K/V
-            writes land at their frozen cursor — beyond their committed
-            tokens, i.e. the garbage zone — so the big cache tensors never
-            need a per-lane select."""
-            Bn, t, _ = embeds.shape
-
-            def step_p(e, kk, vv, c, tr):
-                # natively batched: per-lane cursors as a (B,) vector
-                return mmduet.step_forward(
-                    params, cfg_, e, KVCache(kk, vv), c, tr,
-                    compute_lm_logits=True, use_flash=None,
-                )
-
-            out = step_p(embeds, k, v, cache_len, jnp.int32(t))
-            logits0 = out.last_logits
-            cursor = jnp.where(active, cache_len + t, cache_len)
-
-            tok = jnp.argmax(_penalized(logits0, pen_mask), axis=-1).astype(jnp.int32)
-            buf = jnp.zeros((Bn, max_new), jnp.int32)
-            buf = buf.at[:, 0].set(jnp.where(active, tok, 0))
-            done = (tok == eos_id) | ~active
-            upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok)
-            pen_mask = jnp.where(
-                (active & (tok != eos_id))[:, None], upd, pen_mask
+            lanes with ``active=False`` are frozen throughout (masked
+            updates on the small carry leaves; their scratch rows commit
+            into their garbage zone). `mmduet.decode_loop` carries only a
+            (L, B, kh, max_new, hd) scratch through the decode while-loop
+            — carrying the B ~20k-slot caches made XLA double-buffer
+            them, the HBM blowup that capped generation serving at B=2
+            per chip (BENCH_r04)."""
+            packed, cache, pen_out = mmduet.decode_loop(
+                params, cfg_, embeds, KVCache(k, v), cache_len,
+                jnp.int32(embeds.shape[1]), pen_mask, active,
+                max_new=max_new, eos_id=eos_id, rep=rep,
+                use_flash=use_flash,
             )
-            n = jnp.where(active, 1, 0)
-
-            def cond(s):
-                return jnp.any(~s[6]) & (s[5] < max_new)
-
-            def body(s):
-                kk, vv, cursor, last_tok, buf, i, done, n, mask = s
-                emb = embed_tokens(params["decoder"], last_tok[:, None], V).astype(dtype_)
-                o = step_p(emb, kk, vv, cursor, jnp.int32(1))
-                tok = jnp.argmax(_penalized(o.last_logits, mask), axis=-1).astype(jnp.int32)
-                buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
-                upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
-                mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
-                n = jnp.where(done, n, i + 1)
-                cursor = jnp.where(done, cursor, cursor + 1)
-                last_tok = jnp.where(done, last_tok, tok)
-                done = done | (tok == eos_id)
-                return (o.kv_cache.k, o.kv_cache.v, cursor, last_tok,
-                        buf, i + 1, done, n, mask)
-
-            kk, vv, cursor, _, buf, _, _, n, pen_mask = jax.lax.while_loop(
-                cond, body,
-                (out.kv_cache.k, out.kv_cache.v, cursor, tok, buf,
-                 jnp.int32(1), done, n, pen_mask),
-            )
+            cache = pin_kv(cache)
+            if act_sh is not None:
+                pen_out = jax.lax.with_sharding_constraint(pen_out, act_sh)
             # tokens + per-lane n + per-lane cursor packed into ONE
             # (B, max_new+2) array: a single host fetch per generation
-            packed = jnp.concatenate(
-                [buf, n[:, None], cursor[:, None]], axis=1
-            )
-            return packed, kk, vv, pen_mask
+            return packed, cache.k, cache.v, pen_out
 
         self._gen_b = jax.jit(_gen_batched, donate_argnums=(2, 3))
         # per-lane frame-buffer row writer (admission + group feeding):
@@ -476,7 +494,12 @@ class BatchedStreamEngine(BatchedStreamScorer):
         self._queues: List[collections.deque] = [
             collections.deque() for _ in range(B)
         ]
-        self._pen_mask = jnp.zeros((B, self.cfg.text.vocab_size), bool)
+        # pinned to the canonical activation sharding: _gen_b's pen-mask
+        # output is similarly constrained, so repeat generations hit the
+        # same jit entry under TP (sharding drift = silent recompile)
+        self._pen_mask = self._pin(
+            jnp.zeros((B, self.cfg.text.vocab_size), bool)
+        )
         if hasattr(self, "args"):
             self._policies = [ThresholdPolicy(self.args) for _ in range(B)]
         self.debug_data_lists: List[List[Dict[str, float]]] = [
@@ -523,7 +546,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
             or self._frame_embeds.shape[1] != cap
             or self._frame_embeds.shape[-1] != H
         ):
-            self._frame_embeds = jnp.zeros((self.B, cap, ft, H), self.dtype)
+            self._frame_embeds = self._pin(
+                jnp.zeros((self.B, cap, ft, H), self.dtype)
+            )
 
     def input_frame_embeds(self, embeds, lengths=None) -> None:
         """(B, T, ft, H) pre-computed frame embeddings, written into the
@@ -536,7 +561,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 f"{embeds.shape[1]} frames exceed max_num_frames {cap}"
             )
         self._ensure_frame_buffer(embeds.shape[-1])
-        self._frame_embeds = self._buf_upd(self._frame_embeds, embeds, 0)
+        self._frame_embeds = self._buf_upd(
+            self._frame_embeds, self._pin(embeds), 0
+        )
         if lengths is not None:
             lengths = np.asarray(lengths)
             assert lengths.shape == (self.B,) and lengths.max() <= embeds.shape[1]
@@ -567,7 +594,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             raise ValueError(f"session has {T} frames > max_num_frames {cap}")
         self._ensure_frame_buffer(frames.shape[-1])
         self._frame_embeds = self._buf_upd(
-            self._frame_embeds, frames[None], lane
+            self._frame_embeds, self._pin(frames[None]), lane
         )
         self._lengths[lane] = T
         self._cur[lane] = 0
@@ -735,7 +762,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         for b in chunks:
             self._check_fits(b, bucket)
         self._guard_frozen_writes(bucket, chunks)
-        embeds = jnp.stack([pad_chunk(c, bucket) for c in embeds_l])
+        embeds = self._pin(jnp.stack([pad_chunk(c, bucket) for c in embeds_l]))
         probs, self._k, self._v = self._sched_b(
             self.params, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32),
@@ -759,7 +786,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
         active = np.zeros((self.B,), bool)
         active[list(lanes)] = True
         pre = self._cur.copy()
-        embeds = jnp.broadcast_to(gen_embeds, (self.B, *gen_embeds.shape))
+        embeds = self._pin(
+            jnp.broadcast_to(gen_embeds, (self.B, *gen_embeds.shape))
+        )
         packed, self._k, self._v, self._pen_mask = self._gen_b(
             self.params, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32), self._pen_mask,
@@ -803,7 +832,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         for b in buckets if buckets is not None else self._buckets:
             if b > self._cache_size:
                 continue
-            embeds = jnp.zeros((self.B, b, H), self.dtype)
+            embeds = self._pin(jnp.zeros((self.B, b, H), self.dtype))
             _, self._k, self._v = self._sched_b(
                 self.params, embeds, self._k, self._v, cur0,
                 jnp.full((self.B,), b, jnp.int32), pos0,

@@ -115,3 +115,99 @@ class TestTPPrewarm:
         np.testing.assert_allclose(warm_scores, cold_scores, atol=1e-6)
         assert [t["content"] for t in warm_out] == \
             [t["content"] for t in cold_out]
+
+
+class TestTPBatchedServing:
+    """TP x batched serving (`BatchedStreamEngine(mesh=...)`): the
+    production v5e-8 config — B concurrent sessions AND Megatron-layout
+    TP. Scores, triggered generations and caches must match the
+    unsharded batched engine."""
+
+    def _drive(self, mesh):
+        from mmduet_tpu.infer import BatchedStreamEngine
+
+        r = np.random.RandomState(3)
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        lengths = (9, 6)
+        convs = [
+            [{"role": "user", "content": "what is happening?", "time": 0.0}],
+            [],
+        ]
+        import jax.numpy as jnp
+
+        embeds = [jnp.asarray(r.randn(n, ft, H) * 0.05, jnp.float32)
+                  for n in lengths]
+        params = PARAMS if mesh is None else shard_params(
+            PARAMS, mesh, mode="replicate"
+        )
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=True, max_new_tokens=8,
+                         repetition_penalty=1.05, max_num_frames=16,
+                         stream_end_prob_threshold=0.5)
+        be = BatchedStreamEngine(
+            params, CFG, CharTokenizer(frame_num_tokens=ft), args,
+            n_streams=2, block_frames=4, kv_cache_size=1024, mesh=mesh,
+        )
+        if mesh is not None:
+            spec = be._k.sharding.spec
+            assert len(spec) >= 3 and spec[2] == "model", spec
+        T = max(lengths)
+        padded = jnp.stack([
+            jnp.concatenate([e, jnp.zeros((T - e.shape[0], ft, H), e.dtype)])
+            for e in embeds
+        ])
+        be.input_frame_embeds(padded, lengths=np.array(lengths))
+        be.input_query_streams(convs)
+        resp = be.stream_all()
+        n_assistant = sum(1 for rr in resp for t in rr
+                          if t["role"] == "assistant")
+        assert n_assistant >= 1, "scenario must trigger a generation"
+        scores = [
+            [d["informative_score"] for d in rows]
+            for rows in be.debug_data_lists
+        ]
+        return resp, scores
+
+    def test_tp_batched_matches_unsharded(self):
+        ref_resp, ref_scores = self._drive(None)
+        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+        tp_resp, tp_scores = self._drive(mesh)
+        for b in range(2):
+            np.testing.assert_allclose(
+                ref_scores[b], tp_scores[b], atol=2e-4, err_msg=f"lane {b}"
+            )
+            assert [t["content"] for t in ref_resp[b]] == \
+                [t["content"] for t in tp_resp[b]], f"lane {b}"
+
+    def test_tp_batched_prewarm_no_recompile(self):
+        """A real TP-batched session after prewarm() adds no jit entries."""
+        from mmduet_tpu.infer import BatchedStreamEngine
+
+        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+        params = shard_params(PARAMS, mesh, mode="replicate")
+        ft = CFG.frame_num_tokens
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=True, max_new_tokens=8,
+                         repetition_penalty=1.05, max_num_frames=16,
+                         stream_end_prob_threshold=0.5)
+        be = BatchedStreamEngine(
+            params, CFG, CharTokenizer(frame_num_tokens=ft), args,
+            n_streams=2, block_frames=4, kv_cache_size=1024, mesh=mesh,
+        )
+        be.prewarm(vision=False)
+        sizes = {n: getattr(be, n)._cache_size()
+                 for n in ("_sched_b", "_gen_b", "_prefix_b")}
+        import jax.numpy as jnp
+
+        r = np.random.RandomState(3)
+        H = CFG.text.hidden_size
+        embeds = jnp.asarray(r.randn(2, 8, ft, H) * 0.05, jnp.float32)
+        be.input_frame_embeds(embeds)
+        be.input_query_streams([
+            [{"role": "user", "content": "what is happening?", "time": 0.0}],
+            [],
+        ])
+        be.stream_all()
+        after = {n: getattr(be, n)._cache_size()
+                 for n in ("_sched_b", "_gen_b", "_prefix_b")}
+        assert after == sizes, f"recompiled after prewarm: {sizes} -> {after}"
