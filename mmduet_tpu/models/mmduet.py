@@ -513,20 +513,17 @@ def decode_loop(
     # ONE commit of the scratch into the big cache at each lane's post-
     # prompt cursor; slots beyond a lane's fed count hold garbage that
     # lands in its garbage zone (see capacity contract above)
-    if B == 1:
+    # unrolled per-lane chain, NOT a vmapped DUS: the vmap lowers to a
+    # scatter that materializes a transpose copy of the whole cache (a
+    # 2.4 GB temp at B=4 protocol scale); chained updates alias in place
+    k_out, v_out = cache.k, cache.v
+    for b in range(B):
         k_out = jax.lax.dynamic_update_slice(
-            cache.k, sk, (0, 0, 0, base[0], 0)
+            k_out, sk[:, b : b + 1], (0, b, 0, base[b], 0)
         )
         v_out = jax.lax.dynamic_update_slice(
-            cache.v, sv, (0, 0, 0, base[0], 0)
+            v_out, sv[:, b : b + 1], (0, b, 0, base[b], 0)
         )
-    else:
-        upd2 = jax.vmap(
-            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (0, 0, s, 0)),
-            in_axes=(1, 1, 0), out_axes=1,
-        )
-        k_out = upd2(cache.k, sk, base)
-        v_out = upd2(cache.v, sv, base)
     packed = jnp.concatenate(
         [buf, n[:, None].astype(jnp.int32), cursor[:, None]], axis=1
     )

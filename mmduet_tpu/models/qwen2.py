@@ -453,24 +453,22 @@ def qwen2_forward(
         # ONE in-place (donated-buffer-aliased) bucket-wide write of every
         # layer's chunk K/V; padded tail slots hold garbage that the next
         # chunk overwrites — same contract as before. Per-lane cursors
-        # need a per-lane start index, hence the lane-mapped update for
-        # B > 1 (still a single fused op, not inside the layer scan).
-        if B == 1:
+        # need a per-lane start index: an UNROLLED chain of per-lane
+        # `dynamic_update_slice` (B is static). A vmapped DUS lowers to a
+        # scatter whose lane-minor operand layout forces a transpose COPY
+        # of the entire cache — a 2.4 GB HLO temp at B=4 protocol scale,
+        # the residual OOM after scratch decode; the chained form aliases
+        # in place, each write O(chunk bytes).
+        k_out, v_out = kv_cache.k, kv_cache.v
+        for b in range(B):
             k_out = jax.lax.dynamic_update_slice(
-                kv_cache.k, chunk_kv[0], (0, 0, 0, cache_len_b[0], 0)
+                k_out, chunk_kv[0][:, b : b + 1],
+                (0, b, 0, cache_len_b[b], 0),
             )
             v_out = jax.lax.dynamic_update_slice(
-                kv_cache.v, chunk_kv[1], (0, 0, 0, cache_len_b[0], 0)
+                v_out, chunk_kv[1][:, b : b + 1],
+                (0, b, 0, cache_len_b[b], 0),
             )
-        else:
-            upd = jax.vmap(
-                lambda c, u, s: jax.lax.dynamic_update_slice(
-                    c, u, (0, 0, s, 0)
-                ),
-                in_axes=(1, 1, 0), out_axes=1,
-            )
-            k_out = upd(kv_cache.k, chunk_kv[0], cache_len_b)
-            v_out = upd(kv_cache.v, chunk_kv[1], cache_len_b)
         return hidden, KVCache(k=k_out, v=v_out)
     return hidden, None
 
