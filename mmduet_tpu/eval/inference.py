@@ -89,6 +89,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
                         "model resident on a v5e-8)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help=">1 = with --batch_streams B (divisible), shard "
+                        "the B serving lanes over this many chips (data-"
+                        "parallel serving: each shard owns B/N sessions' "
+                        "caches); composes with --mesh_model")
     p.add_argument("--prewarm", action="store_true",
                    help="compile every hot serving shape before the first "
                         "sample (prefill buckets, fused block, decode "
@@ -166,21 +171,24 @@ def build_engine(args):
     return engine
 
 
-def _maybe_shard_tp(params, mesh_model: int):
-    """Tensor-parallel serving setup shared by the online engine and the
-    offline baseline runner."""
-    if mesh_model <= 1:
+def _maybe_shard_tp(params, mesh_model: int, mesh_data: int = 1):
+    """Parallel-serving mesh setup shared by the engines and the offline
+    baseline runner: (data, model) mesh, params replicated over data and
+    Megatron-sharded over model."""
+    if mesh_model <= 1 and mesh_data <= 1:
         return params, None
     import jax
 
     from ..parallel import make_mesh, shard_params
 
+    need = mesh_model * mesh_data
     n_dev = len(jax.devices())
-    if n_dev < mesh_model:
+    if n_dev < need:
         raise SystemExit(
-            f"--mesh_model {mesh_model} needs that many devices, found {n_dev}"
+            f"--mesh_data {mesh_data} x --mesh_model {mesh_model} needs "
+            f"{need} devices, found {n_dev}"
         )
-    mesh = make_mesh((1, mesh_model), devices=jax.devices()[:mesh_model])
+    mesh = make_mesh((mesh_data, mesh_model), devices=jax.devices()[:need])
     return shard_params(params, mesh, mode="replicate"), mesh
 
 
@@ -277,7 +285,12 @@ def _run_batched(args) -> None:
             "--batch_streams needs a merged checkpoint (runtime LoRA is "
             "single-stream only); re-convert with --merge"
         )
-    params, mesh = _maybe_shard_tp(params, args.mesh_model)
+    if args.mesh_data > 1 and args.batch_streams % args.mesh_data != 0:
+        raise SystemExit(
+            f"--mesh_data {args.mesh_data} must divide --batch_streams "
+            f"{args.batch_streams} (lanes shard over the data axis)"
+        )
+    params, mesh = _maybe_shard_tp(params, args.mesh_model, args.mesh_data)
     test_args = _test_args(args, cfg)
     B = args.batch_streams
     engine = BatchedStreamEngine(

@@ -66,35 +66,53 @@ class BatchedStreamScorer:
         dtype=None,
         mesh=None,
     ):
-        """``mesh``: a (data, model) `jax.sharding.Mesh` for tensor-
-        parallel BATCHED serving — shard ``params`` with
+        """``mesh``: a (data, model) `jax.sharding.Mesh` for parallel
+        BATCHED serving — shard ``params`` with
         `parallel.shard_params(params, mesh)` first (same Megatron-layout
         TP contract as `LiveInferEngine`). The (L, B, kh, S, hd) caches
-        shard on their kv-head dim; chunk activations are pinned to one
-        canonical replicated sharding so every jit entry is prewarmable
-        (`infer/engine.py:90-101` rationale); the Pallas kernel is
-        bypassed (the jnp split attention partitions via GSPMD). TP x
-        batching is the v5e-8 production config: B sessions AND a model
-        too big for one chip's HBM."""
+        shard on their kv-head dim over ``model``; when the mesh has a
+        ``data`` axis that divides B, the LANE dim additionally shards
+        over it — each data shard owns B/data_n sessions (caches, frame
+        buffers, chunk activations), the serving analogue of data
+        parallelism, so lane count scales with chips instead of one
+        chip's HBM. Per-lane chunks pin to one canonical sharding so
+        every jit entry is prewarmable (`infer/engine.py:90-101`
+        rationale); the Pallas kernel is bypassed under any mesh (the
+        jnp split attention partitions via GSPMD). B sessions x (data x
+        model) chips is the full production config on a v5e-8."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.B = n_streams
         self.mesh = mesh
         model_n = mesh.shape.get("model", 1) if mesh is not None else 1
+        data_n = mesh.shape.get("data", 1) if mesh is not None else 1
+        self._lane_sharded = (
+            mesh is not None and data_n > 1 and n_streams % data_n == 0
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             from ..parallel.sharding import kv_cache_sharding
 
-            self._act_sharding = NamedSharding(mesh, PartitionSpec())
-            self._kv_sh = kv_cache_sharding(mesh, cfg.text.num_kv_heads)
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            self._act_sharding = (
+                NamedSharding(mesh, PartitionSpec("data"))
+                if self._lane_sharded else self._rep_sharding
+            )
+            self._kv_sh = kv_cache_sharding(
+                mesh, cfg.text.num_kv_heads,
+                lanes=n_streams if self._lane_sharded else None,
+            )
         else:
             self._act_sharding = None
+            self._rep_sharding = None
             self._kv_sh = None
-        # None = auto (single-chip TPU picks the pallas kernel); TP uses
-        # the GSPMD-partitionable jnp attention path
-        self._use_flash = False if model_n > 1 else None
+        # None = auto (single-chip TPU picks the pallas kernel); any
+        # multi-device mesh uses the GSPMD-partitionable jnp attention
+        self._use_flash = (
+            False if (mesh is not None and model_n * data_n > 1) else None
+        )
         # non-positive = the CLI's auto sentinel (real per-stream rates
         # then arrive via set_stream_fps, defined below)
         self.frame_fps = frame_fps if frame_fps > 0 else 1.0
@@ -205,6 +223,14 @@ class BatchedStreamScorer:
         compile its own entry and `prewarm()` could never cover them."""
         return x if self._act_sharding is None else jax.device_put(
             x, self._act_sharding
+        )
+
+    def _pin_rep(self, x):
+        """Pin a SINGLE-LANE row (size-1 lane dim — not shardable over
+        ``data``) to the replicated sharding; GSPMD routes the write to
+        the owning shard."""
+        return x if self._rep_sharding is None else jax.device_put(
+            x, self._rep_sharding
         )
 
     def set_stream_fps(self, fps: Sequence[float]) -> None:
@@ -593,8 +619,16 @@ class BatchedStreamEngine(BatchedStreamScorer):
         if T > cap:
             raise ValueError(f"session has {T} frames > max_num_frames {cap}")
         self._ensure_frame_buffer(frames.shape[-1])
+        if T < cap:
+            # pad the row to buffer capacity: every admission then hits
+            # ONE _buf_upd shape — per-length shapes put an XLA compile
+            # inside the serving loop at each new session length
+            frames = jnp.concatenate([
+                frames,
+                jnp.zeros((cap - T, *frames.shape[1:]), frames.dtype),
+            ])
         self._frame_embeds = self._buf_upd(
-            self._frame_embeds, self._pin(frames[None]), lane
+            self._frame_embeds, self._pin_rep(frames[None]), lane
         )
         self._lengths[lane] = T
         self._cur[lane] = 0

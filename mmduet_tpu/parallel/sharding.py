@@ -160,18 +160,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def kv_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
-    """Sharding for the (L, B, kh, S, hd) KV cache under tensor-parallel
+def kv_cache_sharding(
+    mesh: Mesh, num_kv_heads: int, lanes: Optional[int] = None
+) -> NamedSharding:
+    """Sharding for the (L, B, kh, S, hd) KV cache under parallel
     serving: the kv-head dim follows the k/v projection output sharding
-    so cache writes and attention stay local to each model shard."""
+    so cache writes and attention stay local to each model shard;
+    ``lanes`` (batched serving) additionally shards the lane dim over
+    ``data`` — each data shard owns B/data_n sessions' caches, the
+    serving analogue of data parallelism."""
     model_n = mesh.shape[MODEL_AXIS]
-    if model_n > 1 and num_kv_heads % model_n == 0:
-        # no trailing Nones: GSPMD canonicalizes specs without them, and
-        # jit cache keys compare PartitionSpecs structurally — a
-        # constraint written (None, None, model, None, None) would never
-        # match the (None, None, model) the compiled fns emit, splitting
-        # every serving shape into two cache entries
+    data_n = mesh.shape.get(DATA_AXIS, 1)
+    tp = model_n > 1 and num_kv_heads % model_n == 0
+    dp = (
+        lanes is not None and data_n > 1 and lanes % data_n == 0
+        and lanes >= data_n
+    )
+    # no trailing Nones: GSPMD canonicalizes specs without them, and
+    # jit cache keys compare PartitionSpecs structurally — a constraint
+    # written (None, None, model, None, None) would never match the
+    # (None, None, model) the compiled fns emit, splitting every serving
+    # shape into two cache entries
+    if tp and dp:
+        return NamedSharding(mesh, P(None, DATA_AXIS, MODEL_AXIS))
+    if tp:
         return NamedSharding(mesh, P(None, None, MODEL_AXIS))
+    if dp:
+        return NamedSharding(mesh, P(None, DATA_AXIS))
     return NamedSharding(mesh, P())
 
 

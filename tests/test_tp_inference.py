@@ -149,8 +149,11 @@ class TestTPBatchedServing:
             n_streams=2, block_frames=4, kv_cache_size=1024, mesh=mesh,
         )
         if mesh is not None:
-            spec = be._k.sharding.spec
-            assert len(spec) >= 3 and spec[2] == "model", spec
+            spec = tuple(be._k.sharding.spec) + (None,) * 3
+            if mesh.shape.get("model", 1) > 1:
+                assert spec[2] == "model", spec
+            if mesh.shape.get("data", 1) > 1:
+                assert spec[1] == "data", spec
         T = max(lengths)
         padded = jnp.stack([
             jnp.concatenate([e, jnp.zeros((T - e.shape[0], ft, H), e.dtype)])
@@ -211,3 +214,87 @@ class TestTPBatchedServing:
         after = {n: getattr(be, n)._cache_size()
                  for n in ("_sched_b", "_gen_b", "_prefix_b")}
         assert after == sizes, f"recompiled after prewarm: {sizes} -> {after}"
+
+
+class TestDPBatchedServing:
+    """Data-parallel LANE sharding: with a ``data`` axis dividing B, each
+    data shard owns B/N sessions' caches/buffers/chunks — serving scale-
+    out across chips. Outputs must equal the unsharded batched engine,
+    alone (2,1) and composed with TP (2,2)."""
+
+    def _drive(self, mesh):
+        return TestTPBatchedServing._drive(self, mesh)
+
+    @pytest.mark.parametrize("shape", [(2, 1), (2, 2)])
+    def test_dp_lanes_match_unsharded(self, shape):
+        ref_resp, ref_scores = self._drive(None)
+        mesh = make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+        dp_resp, dp_scores = self._drive(mesh)
+        for b in range(2):
+            np.testing.assert_allclose(
+                ref_scores[b], dp_scores[b], atol=2e-4, err_msg=f"lane {b}"
+            )
+            assert [t["content"] for t in ref_resp[b]] == \
+                [t["content"] for t in dp_resp[b]], f"lane {b}"
+
+    def test_dp_cache_sharded_on_lane_dim(self):
+        from mmduet_tpu.infer import BatchedStreamEngine
+
+        mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+        params = shard_params(PARAMS, mesh, mode="replicate")
+        be = BatchedStreamEngine(
+            params, CFG, CharTokenizer(frame_num_tokens=CFG.frame_num_tokens),
+            InferArgs(system_prompt="sys", frame_fps=2.0, max_num_frames=16,
+                      stream_end_prob_threshold=0.5),
+            n_streams=2, block_frames=4, kv_cache_size=1024, mesh=mesh,
+        )
+        spec = be._k.sharding.spec
+        assert len(spec) >= 3 and spec[1] == "data" and spec[2] == "model", spec
+
+    def test_dp_admission_churn_matches_single(self):
+        """serve() with more sessions than lanes under a (2,1) mesh:
+        completion outputs equal per-session single engines."""
+        from mmduet_tpu.infer import BatchedStreamEngine, LiveInferEngine
+
+        r = np.random.RandomState(5)
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        import jax.numpy as jnp
+
+        lens = (7, 5, 6, 4)
+        sess = [
+            {
+                "frame_embeds": jnp.asarray(r.randn(n, ft, H) * 0.05,
+                                            jnp.float32),
+                "conversation": [{"role": "user", "content": "what?",
+                                  "time": 0.0}],
+            }
+            for n in lens
+        ]
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=True, max_new_tokens=6,
+                         repetition_penalty=1.05, max_num_frames=8,
+                         stream_end_prob_threshold=0.5)
+        mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+        params = shard_params(PARAMS, mesh, mode="replicate")
+        be = BatchedStreamEngine(
+            params, CFG, CharTokenizer(frame_num_tokens=ft), args,
+            n_streams=2, block_frames=4, kv_cache_size=1024, mesh=mesh,
+        )
+        got = {i: (resp, dbg) for i, resp, dbg in be.serve(iter(sess))}
+        assert set(got) == {0, 1, 2, 3}
+        for i, s in enumerate(sess):
+            eng = LiveInferEngine(
+                PARAMS, CFG, CharTokenizer(frame_num_tokens=ft), args,
+                kv_cache_size=1024, block_frames=4,
+            )
+            eng.input_frame_embeds(s["frame_embeds"])
+            eng.input_query_stream(s["conversation"])
+            want = eng.inference()
+            resp, dbg = got[i]
+            assert [t["content"] for t in resp] == \
+                [t["content"] for t in want], f"session {i}"
+            for g, w in zip(dbg, eng.debug_data_list):
+                np.testing.assert_allclose(
+                    g["informative_score"], w["informative_score"],
+                    atol=3e-5, err_msg=f"session {i}",
+                )
