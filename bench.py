@@ -763,20 +763,31 @@ def run_serve_churn(layers: int, n_streams: int = 4, block: int = 8,
         }
         for i, n in enumerate(lengths)
     ]
-    t0 = time.perf_counter()
-    done = list(eng.serve(iter(sessions)))
-    dt = time.perf_counter() - t0
-    n_gen = sum(1 for _, resp, _ in done
-                for x in resp if x["role"] == "assistant")
-    assert len(done) == n_sessions and n_gen >= n_sessions, (len(done), n_gen)
+    out = {}
+    # same engine both ways: gen_coalesce_rounds is host-side scheduling
+    # only (per-session outputs are pinned invariant,
+    # `tests/test_batch_engine.py::TestGenerationCoalescing`)
+    for co in (0, 2):
+        eng.gen_coalesce_rounds = co
+        t0 = time.perf_counter()
+        done = list(eng.serve(iter(sessions)))
+        dt = time.perf_counter() - t0
+        n_gen = sum(1 for _, resp, _ in done
+                    for x in resp if x["role"] == "assistant")
+        assert len(done) == n_sessions and n_gen >= n_sessions, (
+            len(done), n_gen,
+        )
+        out[co] = (sum(lengths) / dt, n_gen)
+        eng.reset()
     del eng
     gc.collect()
     return {
         "churn_sessions": n_sessions,
         "churn_lanes": n_streams,
         "churn_frames": sum(lengths),
-        "churn_aggregate_frames_s": round(sum(lengths) / dt, 1),
-        "churn_responses": n_gen,
+        "churn_aggregate_frames_s": round(out[0][0], 1),
+        "churn_coalesced_frames_s": round(out[2][0], 1),
+        "churn_responses": out[0][1],
     }
 
 

@@ -89,6 +89,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
                         "model resident on a v5e-8)")
+    p.add_argument("--gen_coalesce_rounds", type=int, default=0,
+                   help="with --batch_streams: a triggered stream may "
+                        "wait this many scheduling rounds (its own "
+                        "stream stalled, others streaming on) so "
+                        "staggered triggers merge into one batched "
+                        "decode — same per-stream outputs, higher "
+                        "aggregate throughput under mixed workloads")
     p.add_argument("--mesh_data", type=int, default=1,
                    help=">1 = with --batch_streams B (divisible), shard "
                         "the B serving lanes over this many chips (data-"
@@ -295,6 +302,7 @@ def _run_batched(args) -> None:
     B = args.batch_streams
     engine = BatchedStreamEngine(
         params, cfg, tokenizer, test_args, n_streams=B, mesh=mesh,
+        gen_coalesce_rounds=args.gen_coalesce_rounds,
         # same block policy as the single engine: grounding never
         # generates, so a trigger never rolls frames back and a big
         # fused block is a pure win

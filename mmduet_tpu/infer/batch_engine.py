@@ -411,6 +411,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         kv_cache_size: Optional[int] = None,
         dtype=None,
         mesh=None,
+        gen_coalesce_rounds: int = 0,
     ):
         super().__init__(
             params, cfg, tokenizer,
@@ -427,6 +428,16 @@ class BatchedStreamEngine(BatchedStreamScorer):
         self.args = args
         self.score_heads = args.score_heads.split(",")
         self.grounding_mode = args.grounding_mode
+        # generation COALESCING (throughput knob, default off): a
+        # triggered lane may wait up to this many scheduling rounds —
+        # its own stream stalled at the trigger point, others streaming
+        # on — so staggered triggers merge into ONE batched decode. Each
+        # lane's token stream is bit-identical either way (the decode
+        # runs at the same cursor/clock state); only wall-clock order
+        # changes. Staggered-cursor churn workloads otherwise decode one
+        # lane at a time (measured: the gap between 75 f/s lockstep and
+        # 46 f/s churn aggregate, BENCH_r04).
+        self.gen_coalesce_rounds = gen_coalesce_rounds
 
         # pre-tokenized incremental fragments (reference inference.py:61-63)
         self._start_ids, self._stream_open_ids, self._gen_prompt_ids = (
@@ -526,6 +537,8 @@ class BatchedStreamEngine(BatchedStreamScorer):
         self._pen_mask = self._pin(
             jnp.zeros((B, self.cfg.text.vocab_size), bool)
         )
+        # lane -> rounds waited for a coalesced generation (see __init__)
+        self._pending_gen: Dict[int, int] = {}
         if hasattr(self, "args"):
             self._policies = [ThresholdPolicy(self.args) for _ in range(B)]
         self.debug_data_lists: List[List[Dict[str, float]]] = [
@@ -689,7 +702,8 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 self._lane_sess[idle[0]] = idx
             live = [
                 b for b in range(self.B)
-                if self._lane_sess[b] is not None and self._remaining(b) > 0
+                if self._lane_sess[b] is not None
+                and (self._remaining(b) > 0 or b in self._pending_gen)
             ]
             if not live:
                 # sessions with zero frames (or all done): flush + stop
@@ -701,7 +715,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 continue
             self._run_round(live)
             for b in live:
-                if self._remaining(b) == 0:
+                if self._remaining(b) == 0 and b not in self._pending_gen:
                     yield self._retire(b)
 
     def _retire(self, lane: int):
@@ -906,10 +920,16 @@ class BatchedStreamEngine(BatchedStreamScorer):
         group (block boundaries do not affect results: block scoring is
         bit-equal to stepping, with mid-chunk triggers rolled back per
         lane)."""
+        # lanes with a deferred (coalescing) generation are stalled at
+        # their trigger point: no queries, no frames this round
+        for b in self._pending_gen:
+            self._pending_gen[b] += 1
+        sched = [b for b in live if b not in self._pending_gen]
+
         # (1) one due query per live stream (engine loop head)
         due = {
             b: self._queues[b][0]
-            for b in live
+            for b in sched
             if self._queues[b] and self._vt[b] >= self._queues[b][0][0]
         }
         if due:
@@ -932,14 +952,15 @@ class BatchedStreamEngine(BatchedStreamScorer):
         # (2) per-lane frame chunks in ONE dispatch
         ft = self.cfg.frame_num_tokens
         chunks = {}
-        for b in live:
+        for b in sched:
             n = min(max(self._budget(b), 1), self._remaining(b))
             chunks[b] = (self._frame_joiner_ids(b), int(self._next_b[b]), n)
-        probs = self._dispatch_sched(chunks)
+        if chunks:
+            probs = self._dispatch_sched(chunks)
 
         # (3) per-stream host policy + rollback (engine loop body)
         to_gen = []
-        for b in live:
+        for b in sched:
             nf = chunks[b][2]
             self._next_b[b] += nf
             self._last_role[b] = "stream"
@@ -966,15 +987,29 @@ class BatchedStreamEngine(BatchedStreamScorer):
                     break
                 self._vt[b] += interval
 
-        # (4) batched generation for every triggered lane
-        if to_gen:
-            texts = self._generate_batch(to_gen)
-            for b in to_gen:
-                self._responses[b].append(
-                    {"time": self._vt[b], "content": texts[b],
-                     "role": "assistant"}
-                )
-                self._vt[b] += 1.0 / self._fps[b]
+        # (4) batched generation — newly triggered lanes join the
+        # pending set; flush when any lane has waited out the coalesce
+        # window or no other lane has frames to stream meanwhile
+        for b in to_gen:
+            self._pending_gen[b] = 0
+        if self._pending_gen:
+            others = any(
+                self._remaining(b) > 0
+                for b in live if b not in self._pending_gen
+            )
+            if (
+                max(self._pending_gen.values()) >= self.gen_coalesce_rounds
+                or not others
+            ):
+                lanes = sorted(self._pending_gen)
+                texts = self._generate_batch(lanes)
+                for b in lanes:
+                    self._responses[b].append(
+                        {"time": self._vt[b], "content": texts[b],
+                         "role": "assistant"}
+                    )
+                    self._vt[b] += 1.0 / self._fps[b]
+                self._pending_gen.clear()
 
     def stream_all(self) -> List[List[Dict[str, Any]]]:
         """Stream every fed session to completion (closed-group mode; see
@@ -988,7 +1023,10 @@ class BatchedStreamEngine(BatchedStreamScorer):
             for b in range(self.B)
         ]
         while True:
-            live = [b for b in range(self.B) if self._remaining(b) > 0]
+            live = [
+                b for b in range(self.B)
+                if self._remaining(b) > 0 or b in self._pending_gen
+            ]
             if not live:
                 break
             self._run_round(live)

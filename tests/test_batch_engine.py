@@ -567,3 +567,138 @@ class TestSessionAdmission:
             {"frame_embeds": emb, "conversation": []}
         ]))
         assert set(out2) == {0}
+
+
+class TestGenerationCoalescing:
+    """`gen_coalesce_rounds`: a triggered lane may stall (its own clock
+    frozen at the trigger point) so staggered triggers merge into one
+    batched decode. Per-lane outputs must be bit-identical to the
+    immediate-generation engine; the batched-call count must drop."""
+
+    def _scenario(self, coalesce, spy=None):
+        r = np.random.RandomState(21)
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        lengths = (24, 20, 22)
+        embeds = [
+            jnp.asarray(r.randn(n, ft, H) * 0.05, jnp.float32)
+            for n in lengths
+        ]
+        # rare periodic triggers (zeroed heads -> prob 0.5 + sum
+        # threshold = fire every ~8 frames) plus mid-stream queries at
+        # different times that skew per-round budgets: lanes trigger in
+        # DIFFERENT rounds — the staggered case coalescing exists for
+        convs = [
+            [{"role": "user", "content": "what?", "time": 2.1}],
+            [{"role": "user", "content": "q", "time": 0.7}],
+            [],
+        ]
+        zp = dict(PARAMS)
+        zp["informative_head"] = jnp.zeros((H, 2), jnp.float32)
+        zp["relevance_head"] = jnp.zeros((H, 2), jnp.float32)
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=True, max_new_tokens=6,
+                         repetition_penalty=1.05, max_num_frames=24,
+                         score_heads="informative_score",
+                         stream_end_score_sum_threshold=3.75)
+        be = BatchedStreamEngine(
+            zp, CFG, TOK, args, n_streams=3, block_frames=4,
+            kv_cache_size=4096, gen_coalesce_rounds=coalesce,
+        )
+        if spy is not None:
+            orig = be._generate_batch
+            be._generate_batch = lambda lanes: (
+                spy.append(sorted(lanes)) or orig(lanes)
+            )
+        T = max(lengths)
+        padded = jnp.stack([
+            jnp.concatenate([e, jnp.zeros((T - e.shape[0], ft, H), e.dtype)])
+            for e in embeds
+        ])
+        be.input_frame_embeds(padded, lengths=np.array(lengths))
+        be.input_query_streams(convs)
+        resp = be.stream_all()
+        return resp, [list(d) for d in be.debug_data_lists]
+
+    def test_outputs_invariant_and_calls_drop(self):
+        calls0, calls2 = [], []
+        ref_resp, ref_debug = self._scenario(0, spy=calls0)
+        co_resp, co_debug = self._scenario(2, spy=calls2)
+        n_gen = sum(1 for rr in ref_resp for t in rr
+                    if t["role"] == "assistant")
+        assert n_gen >= 3, f"need staggered triggers, got {n_gen}"
+        for b in range(3):
+            assert [
+                (round(t["time"], 6), t["role"], t["content"])
+                for t in ref_resp[b]
+            ] == [
+                (round(t["time"], 6), t["role"], t["content"])
+                for t in co_resp[b]
+            ], f"lane {b} diverged under coalescing"
+            np.testing.assert_allclose(
+                [d["informative_score"] for d in ref_debug[b]],
+                [d["informative_score"] for d in co_debug[b]],
+                atol=1e-6, err_msg=f"lane {b} scores",
+            )
+        # coalescing must actually merge staggered triggers
+        assert len(calls2) < len(calls0), (calls0, calls2)
+        assert any(len(l) > 1 for l in calls2), calls2
+
+    def test_trigger_near_stream_end_flushes(self):
+        """A lane triggering with no frames left to stream elsewhere must
+        still flush its pending generation: stream_all terminates and
+        outputs equal the immediate-generation run even when the window
+        exceeds the rounds remaining."""
+        ref_resp, _ = self._scenario(0)
+        co_resp, _ = self._scenario(3)
+        assert [
+            [(round(t["time"], 6), t["role"], t["content"]) for t in rr]
+            for rr in ref_resp
+        ] == [
+            [(round(t["time"], 6), t["role"], t["content"]) for t in rr]
+            for rr in co_resp
+        ]
+        assert any(
+            t["role"] == "assistant" for rr in ref_resp for t in rr
+        )
+
+    def test_serve_with_coalescing_matches(self):
+        """Dynamic admission + coalescing: a lane must not retire while
+        its generation is pending; completion outputs equal the
+        immediate-generation serve run."""
+        r = np.random.RandomState(9)
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        zp = dict(PARAMS)
+        zp["informative_head"] = jnp.zeros((H, 2), jnp.float32)
+        zp["relevance_head"] = jnp.zeros((H, 2), jnp.float32)
+        lens = (10, 8, 12, 9)
+        sess = [
+            {
+                "frame_embeds": jnp.asarray(r.randn(n, ft, H) * 0.05,
+                                            jnp.float32),
+                "conversation": [
+                    {"role": "user", "content": "q?", "time": 0.7 * i}
+                ],
+            }
+            for i, n in enumerate(lens)
+        ]
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         remove_assistant_turns=True, max_new_tokens=6,
+                         repetition_penalty=1.05, max_num_frames=12,
+                         score_heads="informative_score",
+                         stream_end_score_sum_threshold=2.25)
+        outs = {}
+        for co in (0, 2):
+            be = BatchedStreamEngine(
+                zp, CFG, TOK, args, n_streams=2, block_frames=4,
+                kv_cache_size=2048, gen_coalesce_rounds=co,
+            )
+            outs[co] = {
+                i: [(round(t["time"], 6), t["role"], t["content"])
+                    for t in resp]
+                for i, resp, _ in be.serve(iter(sess))
+            }
+        assert set(outs[0]) == set(outs[2]) == {0, 1, 2, 3}
+        assert outs[0] == outs[2]
+        assert any(
+            t[1] == "assistant" for rr in outs[0].values() for t in rr
+        )
