@@ -830,7 +830,12 @@ class BatchedStreamEngine(BatchedStreamScorer):
         t = gen_embeds.shape[0]
         for b in lanes:
             self._check_fits(b, t + self.args.max_new_tokens)
-        self._guard_frozen_writes(t, set(lanes))
+        # frozen lanes receive BOTH the prompt-width prefill write and
+        # the max_new-wide scratch commit at their cursor
+        # (`mmduet.decode_loop` capacity contract)
+        self._guard_frozen_writes(
+            max(t, self.args.max_new_tokens), set(lanes)
+        )
         active = np.zeros((self.B,), bool)
         active[list(lanes)] = True
         pre = self._cur.copy()

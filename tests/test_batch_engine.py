@@ -702,3 +702,23 @@ class TestGenerationCoalescing:
         assert any(
             t[1] == "assistant" for rr in outs[0].values() for t in rr
         )
+
+
+def test_frozen_lane_generation_commit_guard():
+    """Scratch decode commits a max_new-wide window at every lane's
+    cursor — a frozen live lane within max_new of capacity must raise
+    before the batched generation, even when the prompt itself fits."""
+    import jax.numpy as jnp
+
+    args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                     stream_end_prob_threshold=1.0, max_num_frames=8,
+                     max_new_tokens=64)
+    be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=2,
+                             kv_cache_size=512)
+    emb = jnp.zeros((2, 3, CFG.frame_num_tokens, CFG.text.hidden_size))
+    be.input_frame_embeds(emb)
+    # frozen lane 0: prompt (a few tokens) fits before capacity 2048,
+    # but the 64-slot scratch commit would clamp
+    be._cur[:] = [2040, 10]
+    with pytest.raises(RuntimeError, match="frozen stream 0"):
+        be._generate_batch([1])
