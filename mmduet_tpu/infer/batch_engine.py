@@ -77,8 +77,9 @@ class BatchedStreamScorer:
         parallelism, so lane count scales with chips instead of one
         chip's HBM. Per-lane chunks pin to one canonical sharding so
         every jit entry is prewarmable (`infer/engine.py:90-101`
-        rationale); the Pallas kernel is bypassed under any mesh (the
-        jnp split attention partitions via GSPMD). B sessions x (data x
+        rationale); the Pallas flash kernel runs under `shard_map` on
+        local lanes x local heads when the counts divide their axes
+        (jnp GSPMD attention is the fallback). B sessions x (data x
         model) chips is the full production config on a v5e-8."""
         self.params = params
         self.cfg = cfg
@@ -108,10 +109,28 @@ class BatchedStreamScorer:
             self._act_sharding = None
             self._rep_sharding = None
             self._kv_sh = None
-        # None = auto (single-chip TPU picks the pallas kernel); any
-        # multi-device mesh uses the GSPMD-partitionable jnp attention
+        # None = auto (single-chip TPU picks the pallas kernel). A
+        # multi-device mesh runs the kernel under shard_map when lane
+        # and head counts divide their axes (GSPMD cannot partition a
+        # pallas_call); jnp GSPMD attention is the fallback.
+        self._shard_ctx = None
+        if mesh is not None and model_n * data_n > 1:
+            from ..ops.attention import ShardCtx, shard_ctx_ok
+
+            ctx = ShardCtx(
+                mesh,
+                lane_axis="data" if self._lane_sharded else None,
+                head_axis="model" if model_n > 1 else None,
+            )
+            if shard_ctx_ok(
+                ctx, cfg.text.num_heads, cfg.text.num_kv_heads, n_streams
+            ):
+                self._shard_ctx = ctx
         self._use_flash = (
-            False if (mesh is not None and model_n * data_n > 1) else None
+            None
+            if (mesh is None or model_n * data_n == 1
+                or self._shard_ctx is not None)
+            else False
         )
         # non-positive = the CLI's auto sentinel (real per-stream rates
         # then arrive via set_stream_fps, defined below)
@@ -136,6 +155,7 @@ class BatchedStreamScorer:
         # grid inside the kernel.
 
         use_flash = self._use_flash
+        shard_ctx = self._shard_ctx
         kv_sh = self._kv_sh
 
         def _pin_kv(cache: KVCache) -> KVCache:
@@ -153,6 +173,7 @@ class BatchedStreamScorer:
             out = mmduet.step_forward(
                 params, cfg, embeds, KVCache(k, v), cache_len, t_real,
                 compute_lm_logits=False, use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             out_kv = _pin_kv(out.kv_cache)
             return out_kv.k, out_kv.v
@@ -167,6 +188,7 @@ class BatchedStreamScorer:
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg, frames.reshape(Bn, K * ft, H), KVCache(k, v),
                 cache_len, jnp.int32(K * ft), pos, use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             cache = _pin_kv(cache)
             # (B, 2, K): ONE host transfer per block for all scores
@@ -452,6 +474,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         dtype_ = self.dtype
         ft_ = cfg_.frame_num_tokens
         use_flash = self._use_flash
+        shard_ctx = self._shard_ctx
         pin_kv = self._pin_kv
         act_sh = self._act_sharding
         # chunk buckets: the per-lane scheduler's common shapes are a full
@@ -475,7 +498,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             the GSPMD-friendly jnp path elsewhere."""
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg_, embeds, KVCache(k, v), cache_len, t_real,
-                score_pos, use_flash=use_flash,
+                score_pos, use_flash=use_flash, shard_ctx=shard_ctx,
             )
             cache = pin_kv(cache)
             return probs, cache.k, cache.v
@@ -497,7 +520,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 params, cfg_, embeds, KVCache(k, v), cache_len,
                 jnp.int32(embeds.shape[1]), pen_mask, active,
                 max_new=max_new, eos_id=eos_id, rep=rep,
-                use_flash=use_flash,
+                use_flash=use_flash, shard_ctx=shard_ctx,
             )
             cache = pin_kv(cache)
             if act_sh is not None:

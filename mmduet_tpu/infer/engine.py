@@ -79,7 +79,9 @@ class LiveInferEngine:
         attention+MLP block. TP serving is what lets the FULL model
         (decoder + 152k lm_head + SigLIP) stay resident on a v5e-8 when
         a single chip's HBM cannot hold it. The Pallas attention kernel
-        is bypassed under TP (the jnp path partitions via GSPMD)."""
+        runs under `shard_map` when the head counts divide the model
+        axis (`ops.attention.flash_decode_attention_sharded`); the jnp
+        GSPMD path is the fallback."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -100,9 +102,22 @@ class LiveInferEngine:
             self._act_sharding = NamedSharding(mesh, PartitionSpec())
         else:
             self._act_sharding = None
-        # None = auto (single-chip TPU picks the pallas kernel); TP uses
-        # the GSPMD-partitionable jnp attention path
-        self._use_flash = False if model_n > 1 else None
+        # None = auto (single-chip TPU picks the pallas kernel). Under a
+        # TP mesh the kernel runs via shard_map when the head counts
+        # divide the model axis (GSPMD cannot partition a pallas_call);
+        # otherwise fall back to the GSPMD-partitionable jnp attention.
+        self._shard_ctx = None
+        if model_n > 1:
+            from ..ops.attention import ShardCtx, shard_ctx_ok
+
+            ctx = ShardCtx(mesh, lane_axis=None, head_axis="model")
+            if shard_ctx_ok(
+                ctx, cfg.text.num_heads, cfg.text.num_kv_heads, 1
+            ):
+                self._shard_ctx = ctx
+        self._use_flash = (
+            None if (model_n == 1 or self._shard_ctx is not None) else False
+        )
         # activation dtype: from a norm leaf (robust to int8-quantized
         # weight leaves in the tree)
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
@@ -131,6 +146,7 @@ class LiveInferEngine:
         V = cfg.text.vocab_size
 
         use_flash = self._use_flash
+        shard_ctx = self._shard_ctx
         if mesh is not None:
             from ..parallel.sharding import kv_cache_sharding
 
@@ -155,6 +171,7 @@ class LiveInferEngine:
                 params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
                 lora=lora, lora_scale=lora_scale,
                 compute_lm_logits=compute_lm, use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             out = out._replace(kv_cache=_pin_kv(out.kv_cache))
             # both score probs stacked into ONE tiny array: the per-frame
@@ -184,6 +201,7 @@ class LiveInferEngine:
             inf, rel, cache = mmduet.frames_block_forward(
                 params, cfg, frames, KVCache(k, v), cache_len,
                 lora=lora, lora_scale=lora_scale, use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             cache = _pin_kv(cache)
             # both score vectors stacked: the host reads ONE (2, K) array
@@ -207,6 +225,7 @@ class LiveInferEngine:
                 params, cfg, embeds[None], KVCache(k, v), cache_len, t_real,
                 pen_mask[None], max_new=max_new, eos_id=eos_id, rep=rep,
                 lora=lora, lora_scale=lora_scale, use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             cache = _pin_kv(cache)
             # tokens + n + cursor packed into ONE (max_new+2,) array — a

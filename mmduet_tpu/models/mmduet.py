@@ -238,6 +238,7 @@ def train_forward(
     lora_scale: float = 0.0,
     remat: bool = True,
     use_flash: Optional[bool] = None,  # None = auto (flash on TPU)
+    shard_ctx=None,  # ops.attention.ShardCtx (mesh flash; see qwen2_forward)
 ) -> TrainOutput:
     """Full-sequence training forward. Labels are PRE-SHIFTED by the
     collator (reference contract, `video_head_live_llava_qwen.py:163`)."""
@@ -247,7 +248,7 @@ def train_forward(
     hidden, _ = qwen2.qwen2_forward(
         params["decoder"], cfg.text, embeds, positions,
         attn_mask=attn_mask, lora=lora, lora_scale=lora_scale, remat=remat,
-        use_flash=use_flash,
+        use_flash=use_flash, shard_ctx=shard_ctx,
     )
     if cfg.video_head_stop_grad:
         head_hidden = jax.lax.stop_gradient(hidden)
@@ -284,6 +285,7 @@ def step_forward(
     lora_scale: float = 0.0,
     compute_lm_logits: bool = True,
     use_flash: Optional[bool] = None,
+    shard_ctx=None,
     scan_unroll: int = 1,
 ) -> StepOutput:
     """One streaming step: write chunk into cache, read scores at the last
@@ -301,6 +303,7 @@ def step_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cl, lora=lora, lora_scale=lora_scale,
         t_real=tr, use_flash=use_flash, scan_unroll=scan_unroll,
+        shard_ctx=shard_ctx,
     )
     last = jnp.take_along_axis(hidden, (tr - 1)[:, None, None], axis=1)  # (B, 1, H)
     return _score_output(params, last, kv_cache, compute_lm_logits)
@@ -326,6 +329,7 @@ def chunk_scores_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_flash: Optional[bool] = None,
+    shard_ctx=None,
 ) -> Tuple[jax.Array, KVCache]:
     """One batched streaming chunk -> score probs at MULTIPLE per-lane
     chunk positions.
@@ -350,6 +354,7 @@ def chunk_scores_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cl,
         lora=lora, lora_scale=lora_scale, t_real=tr, use_flash=use_flash,
+        shard_ctx=shard_ctx,
     )
     sp = jnp.asarray(score_pos, jnp.int32)
     if sp.ndim == 1:
@@ -373,6 +378,7 @@ def frames_block_forward(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_flash: Optional[bool] = None,
+    shard_ctx=None,
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Score K consecutive frames in ONE chunk forward.
 
@@ -392,7 +398,7 @@ def frames_block_forward(
         params["decoder"], cfg.text, embeds, positions,
         kv_cache=kv_cache, cache_len=cache_len,
         lora=lora, lora_scale=lora_scale, t_real=jnp.int32(K * ft),
-        use_flash=use_flash,
+        use_flash=use_flash, shard_ctx=shard_ctx,
     )
     # hidden state at the last token of each frame carries its scores
     last = hidden.reshape(K, ft, H)[None, :, ft - 1, :]  # (1, K, H)
@@ -421,6 +427,7 @@ def decode_loop(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_flash: Optional[bool] = None,
+    shard_ctx=None,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Prompt prefill + device-side greedy decode, shared by both engines
     (the reference's HF `model.generate` call, `test/inference.py:250-255`,
@@ -463,6 +470,7 @@ def decode_loop(
     out = step_forward(
         params, cfg, embeds, kv_cache, cl, tr, lora=lora,
         lora_scale=lora_scale, compute_lm_logits=True, use_flash=use_flash,
+        shard_ctx=shard_ctx,
     )
     cache = out.kv_cache  # prompt committed; read-only from here to the end
     base = jnp.where(active, cl + tr, cl)
@@ -491,7 +499,7 @@ def decode_loop(
         hidden, scr = qwen2.qwen2_forward(
             dec, cfg.text, emb, cursor[:, None], kv_cache=cache,
             cache_len=base, lora=lora, lora_scale=lora_scale,
-            t_real=jnp.int32(1), use_flash=use_flash,
+            t_real=jnp.int32(1), use_flash=use_flash, shard_ctx=shard_ctx,
             scratch=KVCache(sk, sv), scratch_len=i - 1,
         )
         logits = qwen2.lm_logits(params["lm_head"], hidden[:, :1])[:, 0]

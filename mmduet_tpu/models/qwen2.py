@@ -241,6 +241,9 @@ def qwen2_forward(
     scan_unroll: int = 1,  # lax.scan unroll over layers (latency/compile-time knob)
     scratch: Optional[KVCache] = None,  # (L, B, kh, M, hd) decode scratch
     scratch_len: Optional[jax.Array] = None,  # scalar int32: tokens in it
+    shard_ctx=None,  # ops.attention.ShardCtx: run the flash kernel under
+    # shard_map over a (data, model) mesh (GSPMD cannot partition a
+    # pallas_call; the caller must have validated shard_ctx_ok)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Two modes:
 
@@ -275,15 +278,16 @@ def qwen2_forward(
     if kv_cache is not None:
         S = kv_cache.max_len
         if use_flash is None:
-            from ..ops.attention import attention_available
+            from ..ops import attention as _att
 
             # the kernel carries the lane dim in its grid, so batched
             # engines (B > 1, per-lane cursors) use it directly — no
             # vmap (whose pallas batching lowering took >10 min to
-            # compile per shape on this backend)
+            # compile per shape on this backend). _FORCE_INTERPRET is
+            # the CPU test hook (drives this path via the interpreter).
             use_flash = (
-                jax.default_backend() == "tpu"
-                and attention_available(S, cfg.head_dim)
+                (jax.default_backend() == "tpu" or _att._FORCE_INTERPRET)
+                and _att.attention_available(S, cfg.head_dim)
                 and kv_cache.k.dtype == embeds.dtype
             )
         if t_real is None:
@@ -384,7 +388,15 @@ def qwen2_forward(
                 ck_op, cv_op = k_hm, v_hm
                 tr_att = t_real_b
                 q_off = None
-            if use_flash:
+            if use_flash and shard_ctx is not None:
+                from ..ops.attention import flash_decode_attention_sharded
+
+                attn = flash_decode_attention_sharded(
+                    q, kv_cache.k, kv_cache.v,
+                    ck_op.astype(q.dtype), cv_op.astype(q.dtype),
+                    cache_len_b, tr_att, layer, shard_ctx, q_offset=q_off,
+                )
+            elif use_flash:
                 from ..ops.attention import flash_decode_attention
 
                 # the kernel indexes this layer of the closure-captured

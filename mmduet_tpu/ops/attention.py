@@ -38,7 +38,7 @@ Replaces flash-attention-2 in the reference's decode path
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,10 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 NEG_INF = -1e30
+
+# test hook: CPU suites set this True (monkeypatch) to drive the full
+# engine/model flash paths through the pallas interpreter
+_FORCE_INTERPRET = False
 
 
 def pick_block_s(S: int, preferred: int = 2048) -> int:
@@ -192,6 +196,7 @@ def flash_decode_attention(
 
     Large chunks (multi-frame blocks) are tiled over the query dim so the
     per-step VMEM footprint stays bounded regardless of chunk length."""
+    interpret = interpret or _FORCE_INTERPRET
     B, T_in, nh, hd = q.shape
     L, Bc, kh, S, _ = k_cache.shape
     assert Bc == B, (k_cache.shape, q.shape)
@@ -302,6 +307,86 @@ def flash_decode_attention(
         .reshape(B, T, nh, hd)
     )
     return out[:, :T_in]
+
+
+class ShardCtx(NamedTuple):
+    """How the serving arrays are laid out over a mesh, for running the
+    flash-decode kernel UNDER `shard_map` (GSPMD cannot partition a
+    pallas_call; without this, mesh serving fell back to the jnp split
+    attention — O(cache capacity) per step instead of the kernel's
+    cursor-predicated block skipping):
+
+    - ``head_axis`` ('model' or None): nh/kh shard over it (Megatron TP
+      layout — the cache is already sharded on its kv-head dim,
+      `parallel.kv_cache_sharding`);
+    - ``lane_axis`` ('data' or None): the lane/batch dim shards over it
+      (DP serving). Each device then runs the kernel on its local lanes
+      x local heads; attention mixes neither, so no collectives."""
+
+    mesh: Any
+    lane_axis: Optional[str] = None
+    head_axis: Optional[str] = None
+
+
+def shard_ctx_ok(
+    ctx: "ShardCtx", num_heads: int, num_kv_heads: int, lanes: int
+) -> bool:
+    """Every sharded dim must divide evenly into local shards."""
+    if ctx.head_axis is not None:
+        n = ctx.mesh.shape[ctx.head_axis]
+        if num_heads % n or num_kv_heads % n:
+            return False
+    if ctx.lane_axis is not None:
+        if lanes % ctx.mesh.shape[ctx.lane_axis]:
+            return False
+    return True
+
+
+def flash_decode_attention_sharded(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    chunk_k: jax.Array,
+    chunk_v: jax.Array,
+    cache_len: jax.Array,  # (B,)
+    t_real: jax.Array,  # (B,)
+    layer: jax.Array,  # scalar
+    ctx: ShardCtx,
+    q_offset: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """`flash_decode_attention` over a (data, model) mesh: each device
+    runs the kernel on its local (B/data_n) lanes x (kh/model_n) KV
+    heads. Bit-identical math to the single-device kernel per shard —
+    heads and lanes are independent in attention."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    la, ha = ctx.lane_axis, ctx.head_axis
+    if q_offset is None:
+        q_offset = jnp.zeros_like(jnp.asarray(cache_len, jnp.int32))
+    qspec = P(la, None, ha)  # (B, T, nh, hd)
+    cspec = P(None, la, ha)  # (L, B, kh, S, hd)
+    kspec = P(la, ha)  # (B, kh, Tc, hd)
+    vec = P(la)  # (B,) per-lane scalars
+
+    def local(q, kc, vc, ck, cv, cl, tr, lay, qo):
+        return flash_decode_attention(
+            q, kc, vc, ck, cv, cl, tr, lay, q_offset=qo,
+            interpret=interpret,
+        )
+
+    return shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(qspec, cspec, cspec, kspec, kspec, vec, vec, P(), vec),
+        out_specs=qspec,
+        check_rep=False,
+    )(
+        q, k_cache, v_cache, chunk_k, chunk_v,
+        jnp.asarray(cache_len, jnp.int32), jnp.asarray(t_real, jnp.int32),
+        jnp.asarray(layer, jnp.int32), jnp.asarray(q_offset, jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------

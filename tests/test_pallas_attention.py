@@ -297,3 +297,79 @@ def test_q_offset_per_lane():
             np.asarray(out)[b], ref, atol=2e-3, rtol=1e-3,
             err_msg=f"lane {b}",
         )
+
+
+class TestShardedKernel:
+    """`flash_decode_attention_sharded`: the kernel under shard_map over
+    a (data, model) mesh must equal the single-device kernel — heads and
+    lanes are independent, so each shard computes its slice exactly."""
+
+    def _mesh(self, shape):
+        from mmduet_tpu.parallel import make_mesh
+
+        return make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+
+    @pytest.mark.parametrize(
+        "shape,lane_axis,head_axis",
+        [((1, 2), None, "model"), ((2, 1), "data", None),
+         ((2, 2), "data", "model")],
+    )
+    def test_matches_unsharded(self, shape, lane_axis, head_axis):
+        from mmduet_tpu.ops.attention import (
+            ShardCtx,
+            flash_decode_attention_sharded,
+            shard_ctx_ok,
+        )
+
+        T, nh, kh, hd, S, B, L = 8, 8, 4, 128, 1024, 4, 2
+        q, k, v, ck, cv = _mk(T, nh, kh, hd, S, L=L, seed=17, B=B)
+        cls = _vec(0, 513, 900, 256)
+        trs = _vec(8, 5, 1, 8)
+        ref = flash_decode_attention(
+            q, k, v, ck, cv, cls, trs, jnp.int32(1), interpret=True
+        )
+        ctx = ShardCtx(self._mesh(shape), lane_axis, head_axis)
+        assert shard_ctx_ok(ctx, nh, kh, B)
+        out = flash_decode_attention_sharded(
+            q, k, v, ck, cv, cls, trs, jnp.int32(1), ctx, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_q_offset_sharded(self):
+        from mmduet_tpu.ops.attention import (
+            ShardCtx,
+            flash_decode_attention_sharded,
+        )
+
+        T, nh, kh, hd, S, B = 1, 4, 2, 128, 1024, 2
+        Tc = 16
+        rng = np.random.RandomState(23)
+        q = jnp.array(rng.randn(B, T, nh, hd), jnp.float32) * 0.1
+        k = jnp.array(rng.randn(1, B, kh, S, hd), jnp.float32) * 0.1
+        v = jnp.array(rng.randn(1, B, kh, S, hd), jnp.float32) * 0.1
+        ck = jnp.array(rng.randn(B, kh, Tc, hd), jnp.float32) * 0.1
+        cv = jnp.array(rng.randn(B, kh, Tc, hd), jnp.float32) * 0.1
+        cls, offs = _vec(100, 700), _vec(3, 7)
+        trs = _vec(4, 8)
+        ref = flash_decode_attention(
+            q, k, v, ck, cv, cls, trs, jnp.int32(0), q_offset=offs,
+            interpret=True,
+        )
+        ctx = ShardCtx(self._mesh((2, 2)), "data", "model")
+        out = flash_decode_attention_sharded(
+            q, k, v, ck, cv, cls, trs, jnp.int32(0), ctx, q_offset=offs,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_shard_ctx_gate(self):
+        from mmduet_tpu.ops.attention import ShardCtx, shard_ctx_ok
+
+        mesh = self._mesh((2, 2))
+        assert not shard_ctx_ok(ShardCtx(mesh, "data", "model"), 8, 3, 4)
+        assert not shard_ctx_ok(ShardCtx(mesh, "data", "model"), 8, 4, 3)
+        assert shard_ctx_ok(ShardCtx(mesh, None, "model"), 8, 4, 3)

@@ -298,3 +298,91 @@ class TestDPBatchedServing:
                     g["informative_score"], w["informative_score"],
                     atol=3e-5, err_msg=f"session {i}",
                 )
+
+
+class TestMeshFlashDecode:
+    """The flash-decode kernel under shard_map on a mesh (interpret mode
+    on CPU): model-level forwards with ``shard_ctx`` must equal the jnp
+    GSPMD path — mesh serving keeps the kernel's cursor-predicated cost
+    instead of falling back to O(capacity) attention."""
+
+    # hd must be 128-aligned for the kernel; S 512-blocked
+    FCFG = tiny_config(hidden_size=512).replace(
+        v_placeholder_id=511, eos_token_id=257
+    )
+    FPARAMS = init_mmduet_params(jax.random.PRNGKey(1), FCFG)
+
+    def _mesh22(self):
+        return make_mesh((2, 2), devices=jax.devices()[:4])
+
+    def test_chunk_scores_sharded_flash_matches_jnp(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from mmduet_tpu.models import mmduet
+        from mmduet_tpu.models.qwen2 import KVCache, init_kv_cache
+        from mmduet_tpu.ops import attention as att
+
+        cfg = self.FCFG
+        B, T, S = 4, 12, 1024
+        r = np.random.RandomState(31)
+        embeds = jnp.asarray(
+            r.randn(B, T, cfg.text.hidden_size) * 0.05, jnp.float32
+        )
+        cache = init_kv_cache(cfg.text, B, S, dtype=jnp.float32)
+        k0, v0 = cache.k, cache.v
+        cl = jnp.asarray([0, 37, 256, 700], jnp.int32)
+        tr = jnp.asarray([12, 7, 1, 12], jnp.int32)
+        pos = jnp.asarray([[3, 7], [5, 6], [0, 0], [2, 11]], jnp.int32)
+
+        ref_probs, ref_cache = mmduet.chunk_scores_forward(
+            self.FPARAMS, cfg, embeds, KVCache(k0, v0), cl, tr, pos,
+            use_flash=False,
+        )
+        monkeypatch.setattr(att, "_FORCE_INTERPRET", True)
+        ctx = att.ShardCtx(self._mesh22(), "data", "model")
+        got_probs, got_cache = mmduet.chunk_scores_forward(
+            self.FPARAMS, cfg, embeds, KVCache(k0, v0), cl, tr, pos,
+            use_flash=True, shard_ctx=ctx,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_probs), np.asarray(ref_probs), atol=3e-5,
+        )
+        for b in range(B):
+            end = int(cl[b]) + int(tr[b])
+            np.testing.assert_allclose(
+                np.asarray(got_cache.k)[:, b, :, :end],
+                np.asarray(ref_cache.k)[:, b, :, :end],
+                atol=3e-5, err_msg=f"lane {b}",
+            )
+
+    def test_decode_loop_sharded_flash_matches_jnp(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from mmduet_tpu.models import mmduet
+        from mmduet_tpu.models.qwen2 import KVCache, init_kv_cache
+        from mmduet_tpu.ops import attention as att
+
+        cfg = self.FCFG
+        B, t, S = 2, 4, 1024
+        r = np.random.RandomState(33)
+        embeds = jnp.asarray(
+            r.randn(B, t, cfg.text.hidden_size) * 0.05, jnp.float32
+        )
+        cache = init_kv_cache(cfg.text, B, S, dtype=jnp.float32)
+        cl = jnp.asarray([11, 96], jnp.int32)
+        pen = jnp.zeros((B, cfg.text.vocab_size), bool)
+        act = jnp.ones((B,), bool)
+
+        ref, _, _ = mmduet.decode_loop(
+            self.FPARAMS, cfg, embeds, cache, cl, jnp.int32(t), pen, act,
+            max_new=5, eos_id=-1, rep=1.1, use_flash=False,
+        )
+        monkeypatch.setattr(att, "_FORCE_INTERPRET", True)
+        ctx = att.ShardCtx(
+            self._mesh22(), lane_axis="data", head_axis="model"
+        )
+        got, _, _ = mmduet.decode_loop(
+            self.FPARAMS, cfg, embeds, cache, cl, jnp.int32(t), pen, act,
+            max_new=5, eos_id=-1, rep=1.1, use_flash=True, shard_ctx=ctx,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
