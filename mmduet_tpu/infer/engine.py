@@ -46,9 +46,11 @@ from .state import (
     ThresholdPolicy,
     build_prompt_fragments,
     frame_joiner_ids,
+    encode_uploaded,
     pad_chunk,
     pick_bucket,
     staged_visual_encode,
+    upload_pixels,
     validate_threshold_args,
 )
 
@@ -408,7 +410,8 @@ class LiveInferEngine:
         )
 
     def stream_video(
-        self, video_frames, chunk_frames: int = 64
+        self, video_frames, chunk_frames: int = 64,
+        upload_ahead: bool = False,
     ) -> List[Dict[str, Any]]:
         """Pixels → responses with vision/decode PIPELINING: chunk i+1's
         pixels are uploaded + vision-encoded while the decoder streams
@@ -423,10 +426,20 @@ class LiveInferEngine:
         the true pixels→responses wall approaches on-chip
         vision + decode compute instead of their wall-clock sum.
 
+        ``upload_ahead=True`` pipelines the TRANSFER only: chunk i+1's
+        pixels device_put (async DMA) while chunk i decodes, but its
+        vision compute dispatches just-in-time, right before its own
+        decode. On runtimes where a value fetch barriers the whole
+        program queue (this rig: each block-score fetch would otherwise
+        wait on the next chunk's enqueued vision forwards too), this
+        keeps decode fetches barrier-free while still hiding the
+        host→device pixel transfer behind decode compute.
+
         Queries must be fed (`input_query_stream`) BEFORE this call.
         Results are identical to the one-shot path (chunked feeding is
-        pinned equal by `tests/test_infer_engine.py::TestAppendFrames`;
-        the per-chunk `inference()` calls continue one stream)."""
+        pinned equal by `tests/test_infer_engine.py::TestAppendFrames`
+        and `TestStreamVideo`; the per-chunk `inference()` calls continue
+        one stream)."""
         video_frames = np.asarray(video_frames)
         # user turns are reported once up front; the per-chunk inference()
         # calls would re-list whatever is still queued at each call
@@ -442,6 +455,29 @@ class LiveInferEngine:
             responses.extend(
                 r for r in self.inference(drain=drain) if r["role"] != "user"
             )
+
+        if upload_ahead:
+            pending = None  # (buf, n): uploaded pixels, not yet encoded
+            for start in range(0, len(video_frames), chunk_frames):
+                buf_n = upload_pixels(
+                    video_frames[start : start + chunk_frames], VISION_BATCH
+                )  # async DMA; in flight through the previous chunk's decode
+                if pending is not None:
+                    run_pending(
+                        encode_uploaded(
+                            self._visual, self.params, *pending, VISION_BATCH
+                        ),
+                        drain=False,
+                    )
+                pending = buf_n
+            if pending is not None:
+                run_pending(
+                    encode_uploaded(
+                        self._visual, self.params, *pending, VISION_BATCH
+                    ),
+                    drain=True,
+                )
+            return sorted(responses + user_turns, key=lambda x: x["time"])
 
         pending = None  # device embeddings of the chunk ahead of decode
         for start in range(0, len(video_frames), chunk_frames):

@@ -44,6 +44,45 @@ def pad_chunk(embeds: jnp.ndarray, bucket: int) -> jnp.ndarray:
     )
 
 
+def upload_pixels(video_frames, batch: int = 32):
+    """device_put uint8 (T,H,W,3) pixels padded to a multiple of ``batch``.
+
+    Returns ``(buf, n_real)``. The put is async DMA — no host sync — so
+    a caller can start the NEXT chunk's transfer while the chip decodes
+    the current one (`LiveInferEngine.stream_video(upload_ahead=True)`)."""
+    import jax
+    import numpy as np
+
+    if isinstance(video_frames, (list, tuple)):
+        video_frames = np.stack(video_frames)
+    video_frames = np.asarray(video_frames)
+    if video_frames.ndim != 4 or video_frames.shape[-1] != 3:
+        raise ValueError(
+            f"expected (T,H,W,3) uint8 frames, got {video_frames.shape}"
+        )
+    n = video_frames.shape[0]
+    pad = -n % batch
+    if pad:
+        video_frames = np.concatenate(
+            [video_frames,
+             np.zeros((pad, *video_frames.shape[1:]), video_frames.dtype)]
+        )
+    return jax.device_put(video_frames), n
+
+
+def encode_uploaded(visual_fn, params, buf, n: int, batch: int = 32):
+    """Vision-encode an already-uploaded padded pixel buffer at the one
+    compiled ``batch`` shape (on-device slices); returns (n, ft, H)."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = [
+        visual_fn(params, jax.lax.slice_in_dim(buf, j, j + batch))
+        for j in range(0, buf.shape[0], batch)
+    ]
+    return jnp.concatenate(outs, axis=0)[:n]
+
+
 def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32,
                          upload_chunk: int = 96):
     """Batched vision encode of uint8 (T,H,W,3) pixels via ``visual_fn``
@@ -73,25 +112,14 @@ def staged_visual_encode(visual_fn, params, video_frames, batch: int = 32,
     upload_chunk = max(batch, (upload_chunk // batch) * batch)
     outs = []
 
-    def encode_buf(buf):
-        for j in range(0, buf.shape[0], batch):
-            outs.append(visual_fn(params, jax.lax.slice_in_dim(buf, j, j + batch)))
-
     pending = None  # one upload in flight ahead of its encode dispatches
     for i in range(0, T, upload_chunk):
-        chunk = video_frames[i : i + upload_chunk]
-        n = chunk.shape[0]
-        pad = -n % batch
-        if pad:
-            chunk = np.concatenate(
-                [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
-            )
-        buf = jax.device_put(chunk)
+        buf, n = upload_pixels(video_frames[i : i + upload_chunk], batch)
         if pending is not None:
-            encode_buf(pending)
-        pending = buf
+            outs.append(encode_uploaded(visual_fn, params, *pending, batch))
+        pending = (buf, buf.shape[0])  # encode incl. pad; trimmed at the end
     if pending is not None:
-        encode_buf(pending)
+        outs.append(encode_uploaded(visual_fn, params, *pending, batch))
     return jnp.concatenate(outs, axis=0)[:T]
 
 

@@ -605,3 +605,31 @@ class TestStreamVideo:
         out = eng.stream_video(px, chunk_frames=2)
         assert out == []
         assert len(eng.debug_data_list) == 5
+
+    def test_upload_ahead_matches_enqueue_ahead(self):
+        """The transfer-only pipeline (upload_ahead=True) must produce
+        the SAME responses, scores and clocks as the enqueue-ahead
+        default — it only reorders when device work is dispatched."""
+        r = np.random.RandomState(17)
+        px = r.randint(0, 255, (11, 32, 32, 3), np.uint8)
+        q = [{"role": "user", "content": "and now?", "time": 2.5}]
+
+        base = self._build()
+        base.set_fps(2.0)
+        base.input_query_stream(list(q))
+        want = base.stream_video(px, chunk_frames=4)
+
+        ahead = self._build()
+        ahead.set_fps(2.0)
+        ahead.input_query_stream(list(q))
+        got = ahead.stream_video(px, chunk_frames=4, upload_ahead=True)
+
+        assert [(round(x["time"], 6), x["role"], x["content"]) for x in got] \
+            == [(round(x["time"], 6), x["role"], x["content"]) for x in want]
+        np.testing.assert_allclose(
+            [d["informative_score"] for d in ahead.debug_data_list],
+            [d["informative_score"] for d in base.debug_data_list],
+            atol=1e-5,
+        )
+        assert [round(d["time"], 6) for d in ahead.debug_data_list] \
+            == [round(d["time"], 6) for d in base.debug_data_list]
