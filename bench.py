@@ -431,23 +431,27 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
         n = sum(1 for r in responses if r["role"] == "assistant")
         return t_vision, t_stream, n, np.array(engine.frame_latencies_ms)
 
-    def run_pipelined():
+    def run_pipelined(upload_ahead=False):
         engine.reset()
         engine.set_fps(2.0)
         engine.input_query_stream(QUERY)
         t0 = time.perf_counter()
-        responses = engine.stream_video(pixels, chunk_frames=CHUNK)
+        responses = engine.stream_video(
+            pixels, chunk_frames=CHUNK, upload_ahead=upload_ahead
+        )
         return (
             time.perf_counter() - t0,
             sum(1 for r in responses if r["role"] == "assistant"),
         )
 
-    seq_runs, pipe_runs = [], []
+    seq_runs, pipe_runs, upld_runs = [], [], []
     for _ in range(2):
         seq_runs.append(run_sequential())
         pipe_runs.append(run_pipelined())
+        upld_runs.append(run_pipelined(upload_ahead=True))
     t_vision, t_stream, n_gen, lat = min(seq_runs, key=lambda r: r[0] + r[1])
     t_pipe, n_gen_p = min(pipe_runs)
+    t_upld, _ = min(upld_runs)
 
     peak, resident, method = hbm_probe()
     out = {
@@ -459,14 +463,16 @@ def run_e2e_int8_serving(layers: int, n_frames: int = 384):
             "sequential_total_s": round(t_vision + t_stream, 2),
             "pipelined_s": round(t_pipe, 2),
             "pipelined_s_runs": [round(t, 2) for t, _ in pipe_runs],
+            "upload_ahead_s": round(t_upld, 2),
+            "upload_ahead_s_runs": [round(t, 2) for t, _ in upld_runs],
             "sequential_s_runs": [round(tv + ts, 2) for tv, ts, _, _ in seq_runs],
-            # faster of the two paths: on THIS rig a value fetch is a
-            # full queue barrier (each block-score fetch waits on the
-            # next chunk's enqueued vision work too), so the pipelined
-            # path cannot beat sequential here — it exists for hardware
-            # with dependency-ordered fetches; both are reported
+            # fastest of the three serving paths. On THIS rig a value
+            # fetch is a full queue barrier, so enqueue-ahead pipelining
+            # (each block-score fetch waits on the next chunk's enqueued
+            # vision forwards) cannot beat sequential; upload_ahead
+            # pipelines the pixel DMA only. All walls stay reported.
             "e2e_frames_s": round(
-                n_frames / min(t_pipe, t_vision + t_stream), 1
+                n_frames / min(t_pipe, t_upld, t_vision + t_stream), 1
             ),
             "score_p50_ms_per_frame": round(float(np.percentile(lat, 50)), 2),
             "generations": int(n_gen),
