@@ -102,7 +102,33 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(N, gh * gw, C * p * p)
 
 
-def encoder_layer(h: jax.Array, p: Params, cfg, act) -> jax.Array:
+def _attend(q, k, v, hd: int, use_flash) -> jax.Array:
+    """(N, T, nh, hd) non-causal MHA. ``use_flash=None`` auto-picks the
+    fused Pallas kernel on TPU (`ops.attention.flash_vision_attention`) —
+    the jnp path's (N, nh, T, T) f32 score tensor is ~1 GB of HBM
+    traffic per layer at the serving batch — and the jnp path elsewhere
+    (it is also the HF-parity numerics reference)."""
+    if use_flash is None:
+        from ..ops.attention import vision_flash_available
+
+        use_flash = (
+            jax.default_backend() == "tpu" and vision_flash_available()
+        )
+    if use_flash:
+        from ..ops.attention import flash_vision_attention
+
+        return flash_vision_attention(q, k, v)
+    scores = jnp.einsum(
+        "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def encoder_layer(h: jax.Array, p: Params, cfg, act,
+                  use_flash=None) -> jax.Array:
     """One pre-LN ViT encoder layer: LN -> MHA -> residual -> LN -> MLP
     -> residual. Shared by the SigLIP and CLIP towers, which differ only
     in the MLP activation (`act`: tanh-gelu vs quick_gelu). ``cfg`` needs
@@ -116,9 +142,7 @@ def encoder_layer(h: jax.Array, p: Params, cfg, act) -> jax.Array:
     q = (_mm(y, p["q_proj"], "nph,ho->npo").astype(h.dtype) + p["q_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
     k = (_mm(y, p["k_proj"], "nph,ho->npo").astype(h.dtype) + p["k_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
     v = (_mm(y, p["v_proj"], "nph,ho->npo").astype(h.dtype) + p["v_bias"].astype(h.dtype)).reshape(N, -1, nh, hd)
-    scores = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(hd)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v, preferred_element_type=jnp.float32).astype(h.dtype)
+    attn = _attend(q, k, v, hd, use_flash).astype(h.dtype)
     attn = attn.reshape(N, -1, nh * hd)
     attn = _mm(attn, p["o_proj"], "nph,ho->npo").astype(h.dtype) + p["o_bias"].astype(h.dtype)
     h = h + attn
@@ -135,6 +159,7 @@ def siglip_encode(
     cfg: SiglipConfig,
     images: jax.Array,  # (N, H, W, 3) already normalized to [-1, 1]
     feature_layer: int = -2,
+    use_flash=None,  # None = auto (fused Pallas attention on TPU)
 ) -> jax.Array:
     """Encode frames -> patch features (N, num_patches, hidden)."""
     x = patchify(images, cfg.patch_size)
@@ -149,7 +174,7 @@ def siglip_encode(
 
     def body(h, p):
         act = partial(jax.nn.gelu, approximate=True)
-        return encoder_layer(h, p, cfg, act), ()
+        return encoder_layer(h, p, cfg, act, use_flash), ()
 
     x, _ = jax.lax.scan(body, x, layer_params)
     return x

@@ -422,6 +422,61 @@ def full_attention_available(head_dim: int) -> bool:
     return _FULL_FLASH_OK and _PALLAS_OK and head_dim % 128 == 0
 
 
+def vision_flash_available() -> bool:
+    """Gate for the ViT-tower flash path (`flash_vision_attention` pads
+    head_dim itself, so no divisibility requirement)."""
+    return _FULL_FLASH_OK and _PALLAS_OK
+
+
+def flash_vision_attention(
+    q: jax.Array,  # (N, T, nh, hd) — every token real, no padding mask
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    _impl=None,  # test hook: the jnp mha_reference stands in on CPU
+) -> jax.Array:
+    """NON-causal self-attention for the ViT towers (SigLIP/CLIP).
+
+    The jnp path materializes an (N, nh, T, T) f32 score tensor in HBM —
+    at the serving shape (32, 16, 729, 729) that is ~1 GB per layer
+    written + read through softmax — which makes the tower partly
+    bandwidth-bound. The fused kernel keeps scores in VMEM.
+
+    Adaptation to the stock kernel's contract: head_dim zero-pads to the
+    128 lane width (zero q/k columns add nothing to any logit; the
+    softmax scale uses the TRUE head_dim) and the sequence pads to the
+    block multiple behind segment ids (pad tokens attend only each
+    other and are sliced away)."""
+    N, T, nh, hd = q.shape
+    hdp = -(-hd // 128) * 128
+    if hdp != hd:
+        padd = [(0, 0), (0, 0), (0, 0), (0, hdp - hd)]
+        q = jnp.pad(q, padd)
+        k = jnp.pad(k, padd)
+        v = jnp.pad(v, padd)
+    Tp = -(-T // _FULL_BLOCK) * _FULL_BLOCK
+    seg = jnp.full((N, T), 2, jnp.int32)
+    if Tp != T:
+        padt = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
+        q = jnp.pad(q, padt)
+        k = jnp.pad(k, padt)
+        v = jnp.pad(v, padt)
+        seg = jnp.pad(seg, [(0, 0), (0, Tp - T)], constant_values=1)
+    impl = _impl
+    if impl is None:  # pragma: no cover - exercised on TPU (bench/e2e)
+        impl = _stock_flash_attention
+    out = impl(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        None,
+        _SegmentIds(q=seg, kv=seg),
+        causal=False,
+        sm_scale=1.0 / np.sqrt(hd),
+    )
+    return out.transpose(0, 2, 1, 3)[:, :T, :, :hd].astype(q.dtype)
+
+
 def flash_full_attention(
     q: jax.Array,  # (B, T, nh, hd)
     k: jax.Array,  # (B, T, kh, hd)

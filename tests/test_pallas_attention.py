@@ -185,6 +185,29 @@ class TestFullSequenceFlash:
             atol=2e-5, rtol=1e-4,
         )
 
+    def test_vision_flash_matches_jnp(self):
+        """`flash_vision_attention` (non-causal ViT path) must equal the
+        plain softmax attention for every real token: the head-dim pad to
+        128 adds zero columns to every logit and the sequence pad hides
+        behind segment ids. hd=72 / T=70 exercise both pads (so400m is
+        hd 72, 729 patches)."""
+        from jax.experimental.pallas.ops.tpu.flash_attention import mha_reference
+
+        from mmduet_tpu.models.siglip import _attend as vit_attend
+        from mmduet_tpu.ops.attention import flash_vision_attention
+
+        N, T, nh, hd = 2, 70, 4, 72
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(N, T, nh, hd), jnp.float32) * 0.3
+        k = jnp.asarray(rng.randn(N, T, nh, hd), jnp.float32) * 0.3
+        v = jnp.asarray(rng.randn(N, T, nh, hd), jnp.float32) * 0.3
+
+        ref = vit_attend(q, k, v, hd, use_flash=False)
+        out = flash_vision_attention(q, k, v, _impl=mha_reference)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
     def test_grads_flow(self):
         """The wrapper must be differentiable (the training path takes
         grads through it)."""
