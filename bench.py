@@ -264,9 +264,10 @@ def run_generation(params, text, cfg, max_new=64):
     return max_new / min(times)
 
 
-def run_vision(batch=32, quant=False):
+def run_vision(batch=32, quant=False, use_flash=None):
     """SigLIP-so400m-patch14-384 + projector + 27->7 pooling frames/s
-    (``quant=True``: the int8 weight-only tower the e2e stage serves)."""
+    (``quant=True``: the int8 weight-only tower the e2e stage serves;
+    ``use_flash=False``: the jnp-attention tower, for the kernel A/B)."""
     import jax
     import jax.numpy as jnp
 
@@ -294,7 +295,7 @@ def run_vision(batch=32, quant=False):
     @jax.jit
     def encode(params, px_u8):
         px = siglip.normalize_pixels(px_u8).astype(jnp.bfloat16)
-        return mmduet.visual_embed(params, cfg, px)
+        return mmduet.visual_embed(params, cfg, px, vision_use_flash=use_flash)
 
     px = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (batch, 384, 384, 3), np.uint8)
@@ -922,6 +923,10 @@ def main():
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
         extra["vision_frames_s_int8"] = round(run_vision(quant=True), 1)
+        # flash-vs-jnp attention A/B on the tower (auto picks flash on TPU)
+        extra["vision_frames_s_noflash"] = round(
+            run_vision(use_flash=False), 1
+        )
     except Exception as e:
         print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     gc.collect()

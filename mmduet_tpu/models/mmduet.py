@@ -136,7 +136,8 @@ def normalize_pixels(cfg: MMDuetConfig, frames_uint8: jax.Array) -> jax.Array:
     return siglip.normalize_pixels(frames_uint8)
 
 
-def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array) -> jax.Array:
+def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array,
+                 vision_use_flash=None) -> jax.Array:
     """Normalized pixels (N,H,W,3) → frame token embeddings
     (N, frame_num_tokens, hidden).
 
@@ -160,7 +161,9 @@ def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array) -> jax.Ar
                 f"cfg.frame_num_tokens={cfg.frame_num_tokens}"
             )
         return project(params, feats)
-    feats = siglip.siglip_encode(params["vision"], cfg.vision, pixels)
+    feats = siglip.siglip_encode(
+        params["vision"], cfg.vision, pixels, use_flash=vision_use_flash
+    )
     feats = project(params, feats)
     return spatial_pool(feats, cfg)
 
