@@ -123,6 +123,57 @@ def build_decoder_int8(num_layers: int):
     return params, text, cfg
 
 
+def build_decoder_int4(num_layers: int, group: int = 128):
+    """Random group-wise-int4 decoder at the 7B shape, constructed on
+    device (see `models/quant.py::quantize_weight_int4` for the layout:
+    qw (.., G, g, out) int4, qs (.., G, 1, out) bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    text, cfg = _text_cfg(num_layers)
+    rng = jax.random.PRNGKey(0)
+    L, h, nh, kh, hd, mi = (
+        text.num_layers, text.hidden_size, text.num_heads,
+        text.num_kv_heads, text.head_dim, text.intermediate_size,
+    )
+
+    def qd4(key, shape, reduce_axis, scale=0.02):
+        G = shape[reduce_axis] // group
+        qshape = shape[:reduce_axis] + (G, group) + shape[reduce_axis + 1:]
+        sshape = shape[:reduce_axis] + (G, 1) + shape[reduce_axis + 1:]
+        return {
+            "qw": jax.random.randint(key, qshape, -7, 8, jnp.int8).astype(jnp.int4),
+            "qs": jnp.full(sshape, scale / 7.0, jnp.bfloat16),
+        }
+
+    k = jax.random.split(rng, 10)
+    layers = {
+        "input_norm": jnp.ones((L, h), jnp.bfloat16),
+        "post_attn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "q_proj": qd4(k[0], (L, h, nh * hd), 1),
+        "q_bias": jnp.zeros((L, nh * hd), jnp.bfloat16),
+        "k_proj": qd4(k[1], (L, h, kh * hd), 1),
+        "k_bias": jnp.zeros((L, kh * hd), jnp.bfloat16),
+        "v_proj": qd4(k[2], (L, h, kh * hd), 1),
+        "v_bias": jnp.zeros((L, kh * hd), jnp.bfloat16),
+        "o_proj": qd4(k[3], (L, nh * hd, h), 1),
+        "gate_proj": qd4(k[4], (L, h, mi), 1),
+        "up_proj": qd4(k[5], (L, h, mi), 1),
+        "down_proj": qd4(k[6], (L, mi, h), 1),
+    }
+    params = {
+        "decoder": {
+            "embed": qd4(k[7], (text.vocab_size, h), 1),  # per row-group
+            "layers": layers,
+            "final_norm": jnp.ones((h,), jnp.bfloat16),
+        },
+        "lm_head": qd4(k[8], (h, text.vocab_size), 0),
+        "informative_head": jax.random.normal(k[9], (h, 2), jnp.bfloat16),
+        "relevance_head": jax.random.normal(k[9], (h, 2), jnp.bfloat16),
+    }
+    return params, text, cfg
+
+
 def run_score(params, text, cfg):
     """Stream 192 frames in 32-frame fused blocks + 20 single steps."""
     import jax
@@ -920,6 +971,26 @@ def main():
         except NameError:
             pass
         gc.collect()
+
+    # group-wise int4 serving path: weight reads halve again vs int8,
+    # so the bandwidth-bound decode/score steps should speed up further
+    try:
+        q4params, q4text, q4cfg = build_decoder_int4(layers)
+        q4lat, q4single = run_score(q4params, q4text, q4cfg)
+        extra["p50_int4_ms"] = round(float(np.percentile(q4lat, 50)), 3)
+        extra["single_step_int4_ms"] = round(float(np.percentile(q4single, 50)), 2)
+        extra["generation_tok_s_int4"] = round(
+            run_generation(q4params, q4text, q4cfg), 1
+        )
+        del q4params
+        gc.collect()
+    except Exception as e:
+        print(f"int4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            del q4params
+        except NameError:
+            pass
+        gc.collect()
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
         extra["vision_frames_s_int8"] = round(run_vision(quant=True), 1)
@@ -1024,6 +1095,11 @@ def main():
             1.0 * wt_bytes_tok * extra["generation_tok_s_int8"] / PEAK_HBM_BW,
             3,
         )  # int8: 1 byte/param
+    if "generation_tok_s_int4" in extra:
+        extra["decode_bw_util_int4"] = round(
+            0.5 * wt_bytes_tok * extra["generation_tok_s_int4"] / PEAK_HBM_BW,
+            3,
+        )  # int4: packed 2 params/byte
     # on-chip single-step work = measured latency minus the flat tunnel
     # round-trip every scalar readback pays in this environment
     single_onchip = max(single_p50 - extra["dispatch_rtt_ms"], 0.0)

@@ -408,10 +408,12 @@ def convert_hf_checkpoint(
 
         cfg = cfg.replace(text=_dc.replace(cfg.text, qkv_bias=has_bias))
     params = convert_mmduet(sd, cfg)
-    if quantize == "int8":
+    if quantize in ("int8", "int4"):
         from .quant import quantize_params
 
-        params = quantize_params(params, donate=True)
+        params = quantize_params(
+            params, donate=True, bits=8 if quantize == "int8" else 4
+        )
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize!r}")
 
@@ -459,9 +461,10 @@ def main(argv=None):
     p.add_argument("--lora_dir", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--quantize", default=None, choices=["int8"],
-                   help="weight-only int8 for decoder + lm_head "
-                        "(single-chip fully-resident serving)")
+    p.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                   help="weight-only quantization for decoder + lm_head "
+                        "(single-chip fully-resident serving; int4 = "
+                        "group-128, halves int8's weight reads again)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp

@@ -50,16 +50,70 @@ def quantize_weight(w, reduce_axis: int) -> Dict[str, jax.Array]:
     return {"qw": jnp.asarray(q), "qs": jnp.asarray(scale, jnp.bfloat16)}
 
 
+def quantize_weight_int4(
+    w, reduce_axis: int, group: int = 128
+) -> Dict[str, jax.Array]:
+    """Group-wise symmetric int4 (±7) along ``reduce_axis``.
+
+    The reduce axis splits into ``(G, group)`` and the bf16 scale keeps
+    per-(group-block, output-channel) granularity — per-channel int4 is
+    too coarse for a 7B, group-128 is the round-to-nearest standard
+    (GPTQ/AWQ grouping). Because the scale now varies ALONG the
+    reduction, it cannot factor out of a single dot; consumers run a
+    grouped contraction (one batched matmul over G) and apply the scale
+    to the per-group f32 partial accumulators before summing — decode
+    stays weight-read-bound, and int4 reads half of int8.
+
+    XLA packs s4 two-per-byte in HBM on TPU, so footprint and weight
+    traffic truly halve; ``.astype(bf16)`` folds into the operand read
+    like the int8 path."""
+    w = np.asarray(w).astype(np.float32)
+    dim = w.shape[reduce_axis]
+    if dim % group:  # tiny test shapes: largest common divisor group
+        group = int(np.gcd(dim, group))
+    G = dim // group
+    w = w.reshape(
+        w.shape[:reduce_axis] + (G, group) + w.shape[reduce_axis + 1:]
+    )
+    amax = np.max(np.abs(w), axis=reduce_axis + 1, keepdims=True)
+    scale = np.maximum(amax, 1e-8) / 7.0
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    return {
+        "qw": jnp.asarray(q).astype(jnp.int4),
+        "qs": jnp.asarray(scale, jnp.bfloat16),
+    }
+
+
 def dequantize_weight(qd: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
-    return (qd["qw"].astype(jnp.float32) * qd["qs"].astype(jnp.float32)).astype(dtype)
+    w = qd["qw"].astype(jnp.float32) * qd["qs"].astype(jnp.float32)
+    if qd["qw"].dtype == jnp.int4:  # grouped: merge (G, group) back
+        ax = next(
+            i for i, (a, b) in enumerate(zip(qd["qw"].shape, qd["qs"].shape))
+            if b == 1 and a != 1
+        )
+        w = w.reshape(
+            w.shape[: ax - 1] + (w.shape[ax - 1] * w.shape[ax],)
+            + w.shape[ax + 1:]
+        )
+    return w.astype(dtype)
 
 
 def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and "qw" in leaf and "qs" in leaf
 
 
-def quantize_decoder(decoder: Dict, donate: bool = False) -> Dict:
-    """int8-quantize the layer-stacked matmul weights + embedding.
+def _qw(w, reduce_axis: int, bits: int) -> Dict[str, jax.Array]:
+    if bits == 8:
+        return quantize_weight(w, reduce_axis)
+    if bits == 4:
+        return quantize_weight_int4(w, reduce_axis)
+    raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+
+def quantize_decoder(decoder: Dict, donate: bool = False,
+                     bits: int = 8) -> Dict:
+    """Quantize the layer-stacked matmul weights + embedding (int8
+    per-channel, or group-wise int4 with ``bits=4``).
 
     Norms and biases stay bf16/f32 (tiny). The embedding is per-row
     quantized — rows are gathered then scaled. ``donate=True`` pops each
@@ -74,11 +128,11 @@ def quantize_decoder(decoder: Dict, donate: bool = False) -> Dict:
         src = new_layers.pop(name) if donate else new_layers[name]
         if donate:
             layers.pop(name, None)
-        new_layers[name] = quantize_weight(src, reduce_axis=1)
+        new_layers[name] = _qw(src, 1, bits)
         del src
     out["layers"] = new_layers
     src = decoder.pop("embed") if donate else decoder["embed"]
-    out["embed"] = quantize_weight(src, reduce_axis=1)  # per row
+    out["embed"] = _qw(src, 1, bits)  # per row (int4: per row-group)
     del src
     return out
 
@@ -115,6 +169,7 @@ def quantize_params(
     params: Dict,
     components: Sequence[str] = ("decoder", "lm_head"),
     donate: bool = False,
+    bits: int = 8,
 ) -> Dict:
     """Quantize the serving hot-path weights of a full MMDuet param tree.
 
@@ -122,23 +177,41 @@ def quantize_params(
     heads always stay bf16 (tiny; the heads' numerics feed a
     trained-threshold policy). The vision tower is opt-in: its int8 score
     drift is bounded by `tests/test_quant.py::TestQuantizedVision` but the
-    default stays conservative."""
+    default stays conservative.
+
+    ``bits=4``: group-128 int4 for decoder/lm_head/embed — halves int8's
+    weight reads again for the bandwidth-bound decode/score steps. The
+    vision tower stays int8-only (it is compute-bound at the serving
+    batch; int4 would cost accuracy for no speed)."""
     out = dict(params)
     if "decoder" in components:
-        out["decoder"] = quantize_decoder(params["decoder"], donate=donate)
+        out["decoder"] = quantize_decoder(
+            params["decoder"], donate=donate, bits=bits
+        )
     if "lm_head" in components and "lm_head" in params:
         src = params.pop("lm_head") if donate else params["lm_head"]
-        out["lm_head"] = quantize_weight(src, reduce_axis=0)
+        out["lm_head"] = _qw(src, 0, bits)
         del src
     if "vision" in components and "vision" in params:
+        if bits != 8:
+            raise ValueError(
+                "the vision tower is compute-bound; int4 is unsupported "
+                "there — quantize it separately with bits=8"
+            )
         out["vision"] = quantize_vision(params["vision"], donate=donate)
     return out
 
 
 def param_bytes(params: Any) -> int:
-    """Total bytes of a (possibly quantized) param tree."""
-    return sum(
-        x.size * x.dtype.itemsize
-        for x in jax.tree.leaves(params)
-        if hasattr(x, "size")
-    )
+    """Total bytes of a (possibly quantized) param tree. int4 counts
+    packed (XLA stores s4 two-per-byte on TPU; ml_dtypes reports
+    itemsize 1)."""
+    total = 0
+    for x in jax.tree.leaves(params):
+        if not hasattr(x, "size"):
+            continue
+        if x.dtype == jnp.int4:
+            total += (x.size + 1) // 2
+        else:
+            total += x.size * x.dtype.itemsize
+    return total

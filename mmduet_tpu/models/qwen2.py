@@ -328,7 +328,21 @@ def qwen2_forward(
 
         def proj(name, y, bias_name=None):
             w = p[name]
-            if isinstance(w, dict):  # weight-only int8: {"qw","qs"}
+            if isinstance(w, dict) and w["qw"].ndim == 3:
+                # group-wise int4: qw (G, g, out), qs (G, 1, out). The
+                # scale varies along the reduction so it cannot factor
+                # out of one dot; contract per group (batched matmul)
+                # and scale the f32 partials before the G-sum.
+                G, g, O = w["qw"].shape
+                yg = y.reshape(*y.shape[:-1], G, g)
+                out = jnp.einsum(
+                    "btgi,gio->btgo", yg, w["qw"].astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                out = (
+                    out * w["qs"].astype(jnp.float32).reshape(1, 1, G, O)
+                ).sum(axis=2)
+            elif isinstance(w, dict):  # weight-only int8: {"qw","qs"}
                 # convert folds into the dot's operand read; per-output
                 # scale factors out of the matmul onto the accumulator
                 out = jnp.einsum(
@@ -492,6 +506,12 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
     visual features."""
     ids = jnp.clip(input_ids, 0, vocab_size - 1)
     emb = params["embed"]
+    if isinstance(emb, dict) and emb["qw"].ndim == 3:
+        # int4 per row-group: qw (V, G, g), qs (V, G, 1)
+        rows = jnp.take(emb["qw"], ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(emb["qs"], ids, axis=0).astype(jnp.float32)
+        out = rows * scales  # (..., G, g)
+        return out.reshape(*out.shape[:-2], -1).astype(emb["qs"].dtype)
     if isinstance(emb, dict):  # int8 per-row: gather rows then scale
         rows = jnp.take(emb["qw"], ids, axis=0).astype(jnp.float32)
         scales = jnp.take(emb["qs"][:, 0], ids, axis=0).astype(jnp.float32)
@@ -501,6 +521,17 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
 
 def lm_logits(lm_head, hidden: jax.Array) -> jax.Array:
     """(B,T,H) @ (H,V) -> f32 logits."""
+    if isinstance(lm_head, dict) and lm_head["qw"].ndim == 3:
+        # group-wise int4: qw (G, g, V), qs (G, 1, V) — see `proj`
+        G, g, V = lm_head["qw"].shape
+        hg = hidden.reshape(*hidden.shape[:-1], G, g)
+        out = jnp.einsum(
+            "btgi,giv->btgv", hg, lm_head["qw"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            out * lm_head["qs"].astype(jnp.float32).reshape(1, 1, G, V)
+        ).sum(axis=2)
     if isinstance(lm_head, dict):  # weight-only int8
         return jnp.einsum(
             "bth,hv->btv", hidden, lm_head["qw"].astype(hidden.dtype),

@@ -143,6 +143,130 @@ class TestQuantizedCheckpoint:
         np.testing.assert_allclose(scores(QPARAMS), scores(params2), atol=1e-5)
 
 
+class TestInt4:
+    """Group-wise int4 (bits=4): the grouped-contraction consumers must
+    equal an explicit dequantized-bf16 matmul exactly (same math,
+    different factorization), and the whole serving path must run with
+    bounded drift."""
+
+    Q4 = quantize_params(PARAMS, bits=4)
+
+    def test_roundtrip_error_bounded(self):
+        from mmduet_tpu.models.quant import quantize_weight_int4
+
+        w = np.random.RandomState(0).randn(256, 32).astype(np.float32)
+        qd = quantize_weight_int4(w, reduce_axis=0, group=128)
+        assert qd["qw"].dtype == jnp.int4
+        assert qd["qw"].shape == (2, 128, 32)
+        back = np.asarray(dequantize_weight(qd, jnp.float32))
+        assert back.shape == w.shape
+        scale = np.asarray(qd["qs"], np.float32)  # (2, 1, 32)
+        bound = np.repeat(scale, 128, axis=1).reshape(256, 32) / 2 \
+            + np.abs(w) * 2.0**-8 + 1e-6
+        assert (np.abs(back - w) <= bound).all()
+
+    def test_grouped_contraction_matches_dequant(self):
+        """einsum-per-group + scaled partial sums == y @ dequant(w)."""
+        from mmduet_tpu.models.quant import quantize_weight_int4
+
+        w = np.random.RandomState(1).randn(256, 8).astype(np.float32)
+        qd = quantize_weight_int4(w, reduce_axis=0, group=64)
+        y = np.random.RandomState(2).randn(4, 256).astype(np.float32)
+        a = y @ np.asarray(dequantize_weight(qd, jnp.float32))
+        G, g, O = qd["qw"].shape
+        part = np.einsum(
+            "bgi,gio->bgo", y.reshape(4, G, g), np.asarray(qd["qw"], np.float32)
+        )
+        b = (part * np.asarray(qd["qs"], np.float32).reshape(1, G, O)).sum(1)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_footprint_quartered(self):
+        full = param_bytes(PARAMS["decoder"])
+        q4 = param_bytes(self.Q4["decoder"])
+        q8 = param_bytes(QPARAMS["decoder"])
+        assert q4 < 0.62 * q8  # int4 weights pack 2/byte + scales
+        assert q4 < 0.36 * full
+
+    def test_embed_rows_close(self):
+        ids = jnp.arange(12)[None]
+        full = np.asarray(embed_tokens(PARAMS["decoder"], ids, CFG.text.vocab_size))
+        q4 = np.asarray(
+            embed_tokens(self.Q4["decoder"], ids, CFG.text.vocab_size),
+            np.float32,
+        )
+        assert q4.shape == full.shape
+        denom = np.abs(full).mean()
+        # int4's inherent granularity on Gaussian weights: mean error
+        # ~ scale/4 ~ amax/28 per group => ~0.11 relative. The tiny
+        # 64-wide model is the stress case (no averaging-out); real-7B
+        # drift must be validated with real weights (REAL_CHECKPOINT.md)
+        assert np.abs(full - q4).mean() / denom < 0.15
+
+    def test_lm_head_close(self):
+        h = jax.random.normal(jax.random.PRNGKey(2), (1, 3, CFG.text.hidden_size)) * 0.2
+        a = np.asarray(lm_logits(PARAMS["lm_head"], h))
+        b = np.asarray(lm_logits(self.Q4["lm_head"], h))
+        assert b.shape == a.shape
+        assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9) < 0.15
+
+    def test_step_scores_close_to_bf16(self):
+        cache = init_kv_cache(CFG.text, 1, 512, jnp.float32)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (1, 16, CFG.text.hidden_size)) * 0.3
+
+        def run(params):
+            out = mmduet.step_forward(
+                params, CFG, emb, cache, jnp.int32(0), jnp.int32(16),
+                compute_lm_logits=True,
+            )
+            return float(out.informative_prob[0]), float(out.relevance_prob[0])
+
+        # tiny-model stress bound (measured drift ~0.05/0.09); see
+        # test_embed_rows_close for why int4 drift is ~4x int8's
+        inf_f, rel_f = run(PARAMS)
+        inf_q, rel_q = run(self.Q4)
+        assert abs(inf_f - inf_q) < 0.12
+        assert abs(rel_f - rel_q) < 0.12
+
+    def test_engine_end_to_end_int4(self):
+        tok = CharTokenizer(frame_num_tokens=CFG.frame_num_tokens)
+        args = InferArgs(stream_end_prob_threshold=0.55, max_new_tokens=6)
+        frames = np.random.RandomState(0).randint(0, 255, (8, 32, 32, 3), np.uint8)
+
+        ref = LiveInferEngine(PARAMS, CFG, tok, args, block_frames=4)
+        ref.set_fps(2.0)
+        ref.input_video_stream(frames)
+        ref.inference()
+        ref_scores = [d["informative_score"] for d in ref.debug_data_list]
+
+        q = LiveInferEngine(self.Q4, CFG, tok, args, block_frames=4)
+        q.set_fps(2.0)
+        q.input_video_stream(frames)
+        q.inference()
+        q_scores = [d["informative_score"] for d in q.debug_data_list]
+
+        assert len(ref_scores) == len(q_scores) == 8
+        np.testing.assert_allclose(ref_scores, q_scores, atol=0.15)
+
+    def test_vision_int4_rejected(self):
+        with pytest.raises(ValueError):
+            quantize_params(PARAMS, components=("decoder", "vision"), bits=4)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from mmduet_tpu.models.io import load_checkpoint, save_checkpoint
+
+        save_checkpoint(str(tmp_path / "q4"), CFG, self.Q4)
+        _, params2, _ = load_checkpoint(str(tmp_path / "q4"))
+        qw = params2["decoder"]["layers"]["q_proj"]["qw"]
+        assert qw.dtype == jnp.int4 and qw.ndim == 4
+        a = np.asarray(
+            dequantize_weight(self.Q4["decoder"]["layers"]["q_proj"], jnp.float32)
+        )
+        b = np.asarray(
+            dequantize_weight(params2["decoder"]["layers"]["q_proj"], jnp.float32)
+        )
+        np.testing.assert_array_equal(a, b)
+
+
 class TestQuantizedVision:
     """int8 SigLIP tower: numerics bounded vs bf16 all the way to the
     score probabilities (the quantity the threshold policy consumes)."""
