@@ -722,3 +722,41 @@ def test_frozen_lane_generation_commit_guard():
     be._cur[:] = [2040, 10]
     with pytest.raises(RuntimeError, match="frozen stream 0"):
         be._generate_batch([1])
+
+
+def test_batched_scorer_int4_runs():
+    """int4 params flow through the batched engine untouched (the
+    grouped-contraction consumers dispatch on leaf rank everywhere
+    qwen2_forward runs); scores match the int4 single-stream engine."""
+    from mmduet_tpu.models.quant import quantize_params
+
+    q4 = quantize_params(PARAMS, bits=4)
+    r = np.random.RandomState(3)
+    videos = [r.randint(0, 255, (5, 32, 32, 3), np.uint8) for _ in range(2)]
+
+    scorer = BatchedStreamScorer(
+        q4, CFG, TOK, n_streams=2, frame_fps=2.0,
+        system_prompt="sys", block_frames=4, kv_cache_size=1024,
+    )
+    scorer.start_sessions(["q one", "q two"])
+    scorer.input_video_streams(videos)
+    batched = scorer.score_all()
+
+    for b, video in enumerate(videos):
+        eng = LiveInferEngine(
+            q4, CFG, TOK,
+            InferArgs(system_prompt="sys", frame_fps=2.0,
+                      stream_end_prob_threshold=1.0, grounding_mode=True,
+                      max_num_frames=16),
+            kv_cache_size=1024, block_frames=4,
+        )
+        eng.input_video_stream(video)
+        eng.input_query_stream(
+            [{"role": "user", "content": ["q one", "q two"][b], "time": 0.0}]
+        )
+        eng.inference()
+        want = eng.debug_data_list
+        assert len(batched[b]) == len(want) == len(video)
+        for g, w in zip(batched[b], want):
+            np.testing.assert_allclose(
+                g["informative_score"], w["informative_score"], atol=2e-5)
