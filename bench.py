@@ -676,7 +676,8 @@ def measure_rtt_ms(n: int = 20) -> float:
 
 
 def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
-                        n_frames: int = 400):
+                        n_frames: int = 400, quant: str = "int8",
+                        b_list=None):
     # B=4 at the full 400-frame protocol scale fits one v5e chip since
     # scratch-cache decode (the while-loop no longer carries — and XLA
     # no longer double-buffers — the B 20k-slot caches) and the unrolled
@@ -699,7 +700,8 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
     from mmduet_tpu.infer import BatchedStreamEngine
     from mmduet_tpu.stream import CharTokenizer
 
-    params, text, cfg = build_decoder_int8(layers)
+    build = build_decoder_int4 if quant == "int4" else build_decoder_int8
+    params, text, cfg = build(layers)
     params = dict(params)
     params["informative_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
     params["relevance_head"] = jnp.zeros((text.hidden_size, 2), jnp.bfloat16)
@@ -717,7 +719,8 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
     H = text.hidden_size
     conv = [{"role": "user", "content": "what is happening?", "time": 0.0}]
     out = {}
-    for B in (1, n_streams):
+    bs = tuple(b_list) if b_list else (1, n_streams)
+    for B in bs:
         eng = BatchedStreamEngine(
             params, cfg, tok, args, n_streams=B, block_frames=block,
             kv_cache_size=n_frames * 49 + 1024,
@@ -749,16 +752,17 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
         out[B] = (B * n_frames / dt, n_gen)
         del eng
         gc.collect()
-    assert out[1][1] >= 2 and out[n_streams][1] >= 2 * n_streams, (
-        f"triggers missing: {out}"
-    )
-    return {
-        "gen_serving_frames": n_frames,
-        "gen_serving_b1_frames_s": round(out[1][0], 1),
-        f"gen_serving_b{n_streams}_frames_s": round(out[n_streams][0], 1),
-        "gen_serving_scaling": round(out[n_streams][0] / out[1][0], 2),
-        f"gen_serving_responses_b{n_streams}": out[n_streams][1],
+    for B in bs:
+        assert out[B][1] >= 2 * B, f"triggers missing at B={B}: {out}"
+    sfx = "" if quant == "int8" else f"_{quant}"
+    res = {
+        f"gen_serving_b{B}{sfx}_frames_s": round(out[B][0], 1) for B in bs
     }
+    res[f"gen_serving_responses_b{bs[-1]}{sfx}"] = out[bs[-1]][1]
+    if 1 in out and len(bs) > 1:
+        res["gen_serving_frames"] = n_frames
+        res[f"gen_serving_scaling{sfx}"] = round(out[bs[-1]][0] / out[1][0], 2)
+    return res
 
 
 def run_serve_churn(layers: int, n_streams: int = 4, block: int = 8,
@@ -1023,6 +1027,15 @@ def main():
         extra.update(run_multistream_gen(layers))
     except Exception as e:
         print(f"multistream-gen bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
+
+    # int4 lane-capacity config: the ~3.9 GB int4 decoder leaves HBM for
+    # 8 protocol-scale caches on one chip (int8 tops out at B=4)
+    try:
+        extra.update(run_multistream_gen(layers, quant="int4", b_list=(8,)))
+    except Exception as e:
+        print(f"int4 gen serving failed: {type(e).__name__}: {e}",
               file=sys.stderr)
     gc.collect()
 
