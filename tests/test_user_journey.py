@@ -194,3 +194,21 @@ def test_real_checkpoint_runbook_parity_gate(hf_dir, tmp_path):
         "--n_prompts", "3", "--seq_len", "24", "--atol", "0.01",
     ])
     assert rc == 0
+
+
+def test_convert_quantize_int4(hf_dir, tmp_path):
+    """`convert --quantize int4` writes grouped-int4 leaves that load and
+    serve directly (first CLI coverage of the quantize flag)."""
+    import jax.numpy as jnp
+
+    from mmduet_tpu.models.convert import main as convert_main
+    from mmduet_tpu.models.io import load_checkpoint
+
+    ckpt = str(tmp_path / "ckpt4")
+    convert_main(["--hf_dir", hf_dir, "--output", ckpt,
+                  "--quantize", "int4"])
+    cfg, params, _ = load_checkpoint(ckpt)
+    qw = params["decoder"]["layers"]["q_proj"]["qw"]
+    assert qw.dtype == jnp.int4 and qw.ndim == 4  # (L, G, g, out)
+    assert params["lm_head"]["qw"].ndim == 3  # (G, g, V)
+    assert params["decoder"]["embed"]["qw"].ndim == 3  # (V, G, g)
