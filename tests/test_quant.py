@@ -304,3 +304,60 @@ class TestQuantizedVision:
     def test_vision_footprint_halved(self):
         qv = quantize_params(PARAMS, components=("vision",))
         assert param_bytes(qv["vision"]) < 0.62 * param_bytes(PARAMS["vision"])
+
+
+class TestQuantizedBaseRuntimeLora:
+    """Runtime (unmerged) LoRA on a QUANTIZED base — a serving config the
+    reference cannot express (PEFT adapters require a bf16 base). The
+    adapter contribution must equal the bf16-base run's up to the
+    quantization drift of the base alone: quantized(base)+LoRA minus
+    quantized(base) == bf16(base)+LoRA minus bf16(base)."""
+
+    @staticmethod
+    def _lora_and_emb():
+        from mmduet_tpu.models.lora import init_lora, lora_scale
+
+        lora = init_lora(jax.random.PRNGKey(3), CFG.text, rank=4)
+        # non-trivial B so the adapter actually contributes
+        lora = jax.tree.map(
+            lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(4), x.shape),
+            lora,
+        )
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1), (1, 8, CFG.text.hidden_size)) * 0.3
+        return lora, lora_scale(4, 8.0), emb
+
+    @staticmethod
+    def _run(params, lo, scale, emb):
+        from mmduet_tpu.models.qwen2 import init_kv_cache
+
+        cache = init_kv_cache(CFG.text, 1, 256, jnp.float32)
+        out = mmduet.step_forward(
+            params, CFG, emb, cache, jnp.int32(0), jnp.int32(8),
+            compute_lm_logits=False, lora=lo, lora_scale=scale,
+        )
+        return float(out.informative_prob[0])
+
+    def test_int8_adapter_delta_matches_bf16_base(self):
+        """The adapter's score contribution on the int8 base equals its
+        contribution on the bf16 base (measured diff ~8e-4: the LoRA
+        branch reads the UNQUANTIZED activations, so base quantization
+        barely perturbs it)."""
+        lora, scale, emb = self._lora_and_emb()
+        q = quantize_params(PARAMS, bits=8)
+        delta_bf16 = self._run(PARAMS, lora, scale, emb) \
+            - self._run(PARAMS, None, scale, emb)
+        delta_q = self._run(q, lora, scale, emb) \
+            - self._run(q, None, scale, emb)
+        assert abs(delta_bf16 - delta_q) < 0.01
+
+    def test_int4_adapter_active(self):
+        """int4's tiny-model base drift swamps a cross-model delta
+        comparison (measured 0.032 vs a 0.044 delta), so for int4 only
+        pin that the runtime-LoRA path is live and finite on the
+        quantized base — the projection-level math is shared with int8."""
+        lora, scale, emb = self._lora_and_emb()
+        q = quantize_params(PARAMS, bits=4)
+        base = self._run(q, None, scale, emb)
+        with_lora = self._run(q, lora, scale, emb)
+        assert np.isfinite(with_lora) and with_lora != base
