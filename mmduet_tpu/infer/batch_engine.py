@@ -196,10 +196,15 @@ class BatchedStreamScorer:
 
         self._block_b = jax.jit(_block_fn, donate_argnums=(2, 3))
 
+        # mesh: GSPMD cannot partition a pallas_call — jnp vision
+        # attention there (same rule as LiveInferEngine._visual)
+        _vflash = False if mesh is not None else None
+
         @jax.jit
         def _visual(params, pixels_u8):
             px = mmduet.normalize_pixels(cfg, pixels_u8).astype(self.dtype)
-            return mmduet.visual_embed(params, cfg, px)
+            return mmduet.visual_embed(params, cfg, px,
+                                       vision_use_flash=_vflash)
 
         self._visual = _visual
         self._embed_ids = lambda ids: embed_tokens(

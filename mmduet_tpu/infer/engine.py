@@ -236,10 +236,16 @@ class LiveInferEngine:
 
         self._generate = jax.jit(_generate, donate_argnums=(3, 4))
 
+        # Under a mesh the (replicated) vision program goes through
+        # GSPMD, which cannot partition a pallas_call — force the jnp
+        # attention there; single-chip keeps the fused kernel (auto).
+        _vflash = False if mesh is not None else None
+
         @jax.jit
         def _visual(params, pixels_u8):
             px = mmduet.normalize_pixels(cfg, pixels_u8).astype(self.dtype)
-            return mmduet.visual_embed(params, cfg, px)
+            return mmduet.visual_embed(params, cfg, px,
+                                       vision_use_flash=_vflash)
 
         self._visual = _visual
         # live-feed appender: donated buffer makes each append an
