@@ -20,3 +20,16 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("MMDUET_PLATFORM"):
+    # Escape hatch for rigs whose sitecustomize force-registers an
+    # accelerator backend at interpreter start (where JAX_PLATFORMS in
+    # the environment is overridden before user code runs): setting
+    # MMDUET_PLATFORM=cpu forces every CLI/import of this package onto
+    # the named platform — e.g. to run the demo or eval CLIs while the
+    # accelerator tunnel is down, or to smoke-test off-device.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MMDUET_PLATFORM"])
