@@ -230,6 +230,15 @@ def _make_dataset(args, resolution: int):
 
 
 def _main_inner(args) -> None:
+    if args.mesh_data > 1 and args.batch_streams <= 1:
+        # Data-parallel lane sharding only exists in batched serving;
+        # silently ignoring the flag would let a user believe they
+        # benchmarked a DP config they never ran.
+        raise SystemExit(
+            f"--mesh_data {args.mesh_data} requires --batch_streams > 1 "
+            "(lanes shard over the data axis); single-stream and offline "
+            "baseline runs take --mesh_model only"
+        )
     if not args.is_online_model:
         return _run_offline_baseline(args)
     if args.batch_streams > 1:

@@ -772,11 +772,18 @@ class BatchedStreamEngine(BatchedStreamScorer):
         ``width`` of capacity would have the `dynamic_update_slice` start
         clamped backward, silently overwriting its committed slots (the
         hazard `engine.py:_feed` documents for the single-stream path).
-        Finished streams are exempt: their caches are never read again."""
+        Finished streams are exempt: their caches are never read again —
+        UNLESS a coalesced generation is still pending on the lane (it
+        triggered on its final frame): its flush will decode from the
+        committed cache, so a clamped write must still raise."""
         for b in range(self.B):
             if b in fed:
                 continue  # fed lanes carry their own (>=) _check_fits
-            if self._lengths is not None and self._next_b[b] >= self._lengths[b]:
+            if (
+                self._lengths is not None
+                and self._next_b[b] >= self._lengths[b]
+                and b not in self._pending_gen
+            ):
                 continue
             if self._cur[b] + width > self._cache_size:
                 raise RuntimeError(

@@ -98,7 +98,8 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def clip_encode(params: Params, cfg, images: jax.Array) -> jax.Array:
+def clip_encode(params: Params, cfg, images: jax.Array,
+                use_flash=None) -> jax.Array:
     """Images (N, H, W, 3), already CLIP-normalized -> last_hidden_state
     (N, 1 + num_patches, hidden) — CLS at position 0, NO final LayerNorm
     (HF applies post_layernorm to the pooled CLS only)."""
@@ -115,7 +116,7 @@ def clip_encode(params: Params, cfg, images: jax.Array) -> jax.Array:
     )
 
     def body(h, p):
-        return encoder_layer(h, p, cfg, quick_gelu), ()
+        return encoder_layer(h, p, cfg, quick_gelu, use_flash), ()
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x
@@ -154,13 +155,14 @@ def standalone_encode(
     images: jax.Array,  # (N, H, W, 3) CLIP-normalized
     frame_token_cls: bool,
     frame_token_pooled: Optional[Tuple[int, int]],
+    use_flash=None,
 ) -> jax.Array:
     """The reference `_clip_vision_encode` contract
     (`models/vision_live.py:34-54`): spatial tokens = adaptive-avg-pooled
     patch grid from ``last_hidden_state[:, 1:]``, CLS =
     ``last_hidden_state[:, 0]`` (no post-LN), concatenated [cls, spatial]
     when both are requested. Returns (N, tokens, hidden)."""
-    last = clip_encode(params, cfg, images)
+    last = clip_encode(params, cfg, images, use_flash=use_flash)
     outs = []
     if frame_token_cls:
         outs.append(last[:, :1])

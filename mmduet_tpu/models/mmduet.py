@@ -154,6 +154,7 @@ def visual_embed(params: Params, cfg: MMDuetConfig, pixels: jax.Array,
         feats = clip.standalone_encode(
             params["vision"], cfg.vision, pixels,
             cfg.frame_token_cls, cfg.frame_token_pooled,
+            use_flash=vision_use_flash,
         )
         if feats.shape[1] != cfg.frame_num_tokens:
             raise ValueError(

@@ -88,9 +88,15 @@ def dequantize_weight(qd: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array
     w = qd["qw"].astype(jnp.float32) * qd["qs"].astype(jnp.float32)
     if qd["qw"].dtype == jnp.int4:  # grouped: merge (G, group) back
         ax = next(
-            i for i, (a, b) in enumerate(zip(qd["qw"].shape, qd["qs"].shape))
-            if b == 1 and a != 1
+            (i for i, (a, b) in enumerate(zip(qd["qw"].shape, qd["qs"].shape))
+             if b == 1 and a != 1),
+            None,
         )
+        if ax is None:  # degenerate group=1 (gcd fell to 1): qw == qs shape
+            ax = next(
+                i for i, (a, b) in enumerate(zip(qd["qw"].shape, qd["qs"].shape))
+                if a == 1 and b == 1
+            )
         w = w.reshape(
             w.shape[: ax - 1] + (w.shape[ax - 1] * w.shape[ax],)
             + w.shape[ax + 1:]
@@ -100,6 +106,34 @@ def dequantize_weight(qd: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array
 
 def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and "qw" in leaf and "qs" in leaf
+
+
+def quantized_matmul(y: jax.Array, w: Any) -> jax.Array:
+    """``(..., H) @ (H, O) -> (..., O)`` f32 accumulation for every
+    weight layout — bf16 array, factored int8 ``{"qw","qs"}``, or
+    grouped int4 — so the contraction contract lives in ONE place
+    (consumers: `qwen2.proj`, `qwen2.lm_logits`).
+
+    - int8: per-out-channel scale factors out of the dot onto the f32
+      accumulator; the ``.astype`` folds into the operand read on TPU.
+    - int4 grouped (qw (G, g, O), qs (G, 1, O)): the scale varies along
+      the reduction so it cannot factor out of one dot; contract per
+      group (batched matmul) and scale the f32 partials before the
+      G-sum."""
+    if is_quantized(w):
+        if w["qw"].ndim == 3:  # grouped int4
+            G, g, O = w["qw"].shape
+            yg = y.reshape(*y.shape[:-1], G, g)
+            out = jnp.einsum(
+                "...gi,gio->...go", yg, w["qw"].astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return (out * w["qs"].astype(jnp.float32).reshape(G, O)).sum(axis=-2)
+        return jnp.einsum(
+            "...h,ho->...o", y, w["qw"].astype(y.dtype),
+            preferred_element_type=jnp.float32,
+        ) * w["qs"].astype(jnp.float32)
+    return jnp.einsum("...h,ho->...o", y, w, preferred_element_type=jnp.float32)
 
 
 def _qw(w, reduce_axis: int, bits: int) -> Dict[str, jax.Array]:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Qwen2Config
+from .quant import quantized_matmul
 
 Params = Dict[str, Any]
 
@@ -327,30 +328,7 @@ def qwen2_forward(
         lo = inputs.get("lora")
 
         def proj(name, y, bias_name=None):
-            w = p[name]
-            if isinstance(w, dict) and w["qw"].ndim == 3:
-                # group-wise int4: qw (G, g, out), qs (G, 1, out). The
-                # scale varies along the reduction so it cannot factor
-                # out of one dot; contract per group (batched matmul)
-                # and scale the f32 partials before the G-sum.
-                G, g, O = w["qw"].shape
-                yg = y.reshape(*y.shape[:-1], G, g)
-                out = jnp.einsum(
-                    "btgi,gio->btgo", yg, w["qw"].astype(y.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                out = (
-                    out * w["qs"].astype(jnp.float32).reshape(1, 1, G, O)
-                ).sum(axis=2)
-            elif isinstance(w, dict):  # weight-only int8: {"qw","qs"}
-                # convert folds into the dot's operand read; per-output
-                # scale factors out of the matmul onto the accumulator
-                out = jnp.einsum(
-                    "bth,ho->bto", y, w["qw"].astype(y.dtype),
-                    preferred_element_type=jnp.float32,
-                ) * w["qs"].astype(jnp.float32)
-            else:
-                out = jnp.einsum("bth,ho->bto", y, w, preferred_element_type=jnp.float32)
+            out = quantized_matmul(y, p[name])
             if lo is not None and name in lo:
                 a, b = lo[name]["a"], lo[name]["b"]  # (H,r), (r,O)
                 out = out + lora_scale * jnp.einsum(
@@ -520,23 +498,6 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
 
 
 def lm_logits(lm_head, hidden: jax.Array) -> jax.Array:
-    """(B,T,H) @ (H,V) -> f32 logits."""
-    if isinstance(lm_head, dict) and lm_head["qw"].ndim == 3:
-        # group-wise int4: qw (G, g, V), qs (G, 1, V) — see `proj`
-        G, g, V = lm_head["qw"].shape
-        hg = hidden.reshape(*hidden.shape[:-1], G, g)
-        out = jnp.einsum(
-            "btgi,giv->btgv", hg, lm_head["qw"].astype(hidden.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            out * lm_head["qs"].astype(jnp.float32).reshape(1, 1, G, V)
-        ).sum(axis=2)
-    if isinstance(lm_head, dict):  # weight-only int8
-        return jnp.einsum(
-            "bth,hv->btv", hidden, lm_head["qw"].astype(hidden.dtype),
-            preferred_element_type=jnp.float32,
-        ) * lm_head["qs"].astype(jnp.float32)
-    return jnp.einsum(
-        "bth,hv->btv", hidden, lm_head, preferred_element_type=jnp.float32
-    )
+    """(B,T,H) @ (H,V) -> f32 logits (bf16 / int8 / grouped-int4
+    layouts via `quant.quantized_matmul`)."""
+    return quantized_matmul(hidden, lm_head)

@@ -258,6 +258,34 @@ def test_frozen_lane_overflow_guard():
         be._dispatch_sched({1: ([1, 2, 3], 0, 0)})
 
 
+def test_finished_lane_pending_gen_still_guarded():
+    """A lane that consumed all its frames is normally exempt from the
+    frozen-write guard (its cache is never read again) — but if a
+    coalesced generation is still pending on it (it triggered on its
+    final frame), the flush WILL read the cache, so a clamped write must
+    still raise."""
+    import jax.numpy as jnp
+
+    args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                     stream_end_prob_threshold=1.0, max_num_frames=8)
+
+    def build():
+        be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=2,
+                                 kv_cache_size=512)
+        emb = jnp.zeros((2, 3, CFG.frame_num_tokens, CFG.text.hidden_size))
+        be.input_frame_embeds(emb)
+        be._cur[:] = [2044, 10]
+        be._next_b[0] = be._lengths[0]  # lane 0: all frames consumed
+        return be
+
+    build()._dispatch_sched({1: ([1, 2, 3], 0, 0)})  # exempt: no raise
+
+    be = build()
+    be._pending_gen[0] = 0  # coalesced generation deferred on lane 0
+    with pytest.raises(RuntimeError, match="frozen stream 0"):
+        be._dispatch_sched({1: ([1, 2, 3], 0, 0)})
+
+
 class TestBatchedFuzzInterleavings:
     """Adversarial randomized parity: random per-stream lengths, random
     query times (incl. mid-block), random thresholds (prob and sum

@@ -374,3 +374,41 @@ class TestClipParity:
         out = mmduet.visual_embed(params, cfg, px)
         assert out.shape == (3, 5, h)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_visual_embed_threads_use_flash_to_clip(self, monkeypatch):
+        """Engines under a mesh pass vision_use_flash=False (GSPMD cannot
+        partition pallas_call); the CLIP branch must forward it down to
+        the shared ViT attention instead of letting the auto gate pick
+        the Pallas kernel inside a mesh-jitted program."""
+        from mmduet_tpu.config import tiny_config
+        from mmduet_tpu.models import mmduet, siglip
+
+        _, ours, params_v = self._tiny()
+        cfg = tiny_config(frame_num_tokens=5).replace(
+            vision_arch="clip", frame_token_cls=True,
+            frame_token_pooled=(2, 2), v_placeholder_id=511, eos_token_id=257,
+        ).replace(vision=ours)
+        h = cfg.text.hidden_size
+        rng = jax.random.PRNGKey(0)
+        params = {
+            "vision": params_v,
+            "projector": {
+                "fc1": jax.random.normal(rng, (ours.hidden_size, h)) * 0.05,
+                "fc1_bias": jnp.zeros((h,)),
+                "fc2": jax.random.normal(jax.random.fold_in(rng, 1), (h, h)) * 0.05,
+                "fc2_bias": jnp.zeros((h,)),
+            },
+        }
+        seen = []
+        orig = siglip._attend
+
+        def spy(q, k, v, hd, use_flash):
+            seen.append(use_flash)
+            return orig(q, k, v, hd, use_flash)
+
+        monkeypatch.setattr(siglip, "_attend", spy)
+        px = mmduet.normalize_pixels(
+            cfg, jnp.asarray(np.zeros((1, 32, 32, 3), np.uint8))
+        )
+        mmduet.visual_embed(params, cfg, px, vision_use_flash=False)
+        assert seen and all(f is False for f in seen), seen

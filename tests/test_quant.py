@@ -165,6 +165,20 @@ class TestInt4:
             + np.abs(w) * 2.0**-8 + 1e-6
         assert (np.abs(back - w) <= bound).all()
 
+    def test_dequant_degenerate_group_of_one(self):
+        """An odd reduction dim makes gcd(dim, 128) == 1, so qw and qs
+        end up the SAME shape (group axis size 1 on both) — dequantize
+        must still find the group axis and roundtrip, not crash."""
+        from mmduet_tpu.models.quant import quantize_weight_int4
+
+        w = np.random.RandomState(3).randn(15, 8).astype(np.float32)
+        qd = quantize_weight_int4(w, reduce_axis=0, group=128)
+        assert qd["qw"].shape == qd["qs"].shape == (15, 1, 8)
+        back = np.asarray(dequantize_weight(qd, jnp.float32))
+        assert back.shape == w.shape
+        # group size 1: each element is its own scale => exact up to ±7 grid
+        np.testing.assert_allclose(back, w, rtol=2e-2, atol=1e-6)
+
     def test_grouped_contraction_matches_dequant(self):
         """einsum-per-group + scaled partial sums == y @ dequant(w)."""
         from mmduet_tpu.models.quant import quantize_weight_int4

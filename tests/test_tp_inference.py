@@ -80,6 +80,54 @@ class TestTPServing:
         assert all(np.isfinite(d["informative_score"]) for d in eng.debug_data_list)
 
 
+class TestTPQuantizedServing:
+    """Quantized checkpoints must actually shard under --mesh_model: the
+    {"qw","qs"} leaves sit one level below the named weight, so the TP
+    rules match on the parent name (a leaf-name match would replicate
+    the whole quantized model on every chip)."""
+
+    def test_quantized_specs_follow_parent_rules(self):
+        from mmduet_tpu.models.quant import quantize_params
+
+        mesh = make_mesh((4, 2))
+        for bits in (8, 4):
+            q = quantize_params(PARAMS, bits=bits)
+            sh = param_shardings(q, mesh, mode="replicate")
+            qproj = sh["decoder"]["layers"]["q_proj"]
+            # out dim is last in every quantized layout
+            assert qproj["qw"].spec[-1] == "model", (bits, qproj["qw"].spec)
+            assert qproj["qs"].spec[-1] == "model", (bits, qproj["qs"].spec)
+            lm = sh["lm_head"]
+            assert lm["qw"].spec[-1] == "model", (bits, lm["qw"].spec)
+            emb = sh["decoder"]["embed"]
+            assert emb["qw"].spec[0] == "model", (bits, emb["qw"].spec)
+            # o_proj shards the reduction dim on qw; int8's per-out-channel
+            # scale keeps size 1 there and must stay replicated
+            o = sh["decoder"]["layers"]["o_proj"]
+            if bits == 8:
+                assert "model" not in str(o["qs"].spec), (bits, o["qs"].spec)
+
+    def test_int8_tp_engine_matches_unsharded(self):
+        from mmduet_tpu.models.quant import quantize_params
+
+        q = quantize_params(PARAMS)
+        ref = LiveInferEngine(q, CFG, CharTokenizer(
+            frame_num_tokens=CFG.frame_num_tokens), _args(), block_frames=4)
+        ref_out, ref_scores = _run(ref)
+
+        mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+        tp = LiveInferEngine(
+            shard_params(q, mesh, mode="replicate"), CFG,
+            CharTokenizer(frame_num_tokens=CFG.frame_num_tokens),
+            _args(), block_frames=4, mesh=mesh,
+        )
+        qw = tp.params["decoder"]["layers"]["q_proj"]["qw"]
+        assert "model" in str(qw.sharding.spec), qw.sharding.spec
+        tp_out, tp_scores = _run(tp)
+        np.testing.assert_allclose(ref_scores, tp_scores, atol=2e-4)
+        assert [t["content"] for t in ref_out] == [t["content"] for t in tp_out]
+
+
 class TestTPPrewarm:
     """`prewarm()` under a TP mesh must (a) actually compile the serving
     shapes — a subsequent real session adds NO new jit-cache entries —
