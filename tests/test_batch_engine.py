@@ -732,6 +732,101 @@ class TestGenerationCoalescing:
         )
 
 
+class TestServeCoalescingFuzz:
+    """Combined adversarial fuzz over the feature matrix the targeted
+    tests cover one-at-a-time: dynamic session admission (`serve()`,
+    N > B staggered sessions) × generation coalescing (0–2 rounds) ×
+    per-stream fps clocks × random thresholds/queries. Every session's
+    responses, debug times and scores must equal a dedicated
+    single-stream engine — the admission/freeze/coalesce machinery may
+    change scheduling, never outputs."""
+
+    def test_fuzz_serve_with_coalescing(self):
+        N, B, MAXF = 5, 2, 12
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         stream_end_prob_threshold=0.5, max_new_tokens=4,
+                         repetition_penalty=1.05, max_num_frames=MAXF)
+        be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=B,
+                                 block_frames=4, kv_cache_size=2048)
+        single = LiveInferEngine(
+            PARAMS, CFG, TOK,
+            InferArgs(system_prompt="sys", frame_fps=2.0,
+                      stream_end_prob_threshold=0.5, max_new_tokens=4,
+                      repetition_penalty=1.05, max_num_frames=MAXF),
+            kv_cache_size=2048, block_frames=4,
+        )
+
+        def norm(resp, debug):
+            return (
+                [(round(x["time"], 6), x["role"], x["content"]) for x in resp],
+                [round(d["time"], 6) for d in debug],
+                [d["informative_score"] for d in debug],
+            )
+
+        triggered_total = 0
+        for seed in range(25):
+            r = np.random.RandomState(7000 + seed)
+            lengths = r.randint(1, MAXF + 1, size=N)
+            fps = r.choice([1.0, 2.0, 2.5], size=N)
+            embeds = [
+                jnp.asarray(r.randn(n, ft, H) * 0.05, jnp.float32)
+                for n in lengths
+            ]
+            convs = []
+            for i in range(N):
+                dur = lengths[i] / fps[i]
+                convs.append(sorted(
+                    (
+                        {"role": "user", "content": f"s{i}q{j}?",
+                         "time": float(np.round(r.uniform(0, dur), 3))}
+                        for j in range(r.randint(0, 3))
+                    ),
+                    key=lambda q: q["time"],
+                ))
+            if r.rand() < 0.5:
+                prob_thr, sum_thr = float(r.uniform(0.3, 0.7)), None
+            else:
+                prob_thr, sum_thr = None, float(r.uniform(0.5, 3.0))
+            coalesce = int(r.randint(0, 3))
+            ctx0 = (f"seed={seed} lens={lengths.tolist()} "
+                    f"thr=({prob_thr},{sum_thr}) co={coalesce}")
+
+            for eng in (be, single):
+                eng.args.stream_end_prob_threshold = prob_thr
+                eng.args.stream_end_score_sum_threshold = sum_thr
+            be.gen_coalesce_rounds = coalesce
+            be.reset()
+            sessions = [
+                {"frame_embeds": embeds[i], "conversation": convs[i],
+                 "fps": float(fps[i])}
+                for i in range(N)
+            ]
+            results = {}
+            for idx, resp, debug in be.serve(iter(sessions)):
+                results[idx] = norm(resp, debug)
+            assert sorted(results) == list(range(N)), ctx0
+
+            for i in range(N):
+                single.reset()
+                single.set_fps(float(fps[i]))
+                single.input_frame_embeds(embeds[i])
+                single.input_query_stream(convs[i])
+                want = norm(single.inference(), single.debug_data_list)
+                got = results[i]
+                ctx = f"{ctx0} session={i}"
+                triggered_total += sum(
+                    1 for _, role, _ in want[0] if role == "assistant"
+                )
+                assert got[0] == want[0], f"responses diverged: {ctx}"
+                assert got[1] == want[1], f"debug times diverged: {ctx}"
+                np.testing.assert_allclose(got[2], want[2], atol=3e-5,
+                                           err_msg=f"scores: {ctx}")
+        assert triggered_total >= 25, (
+            f"fuzz too tame: only {triggered_total} generations fired"
+        )
+
+
 def test_frozen_lane_generation_commit_guard():
     """Scratch decode commits a max_new-wide window at every lane's
     cursor — a frozen live lane within max_new of capacity must raise
