@@ -922,6 +922,37 @@ def main():
     except Exception:
         pass
 
+    # The tunneled TPU backend is known to wedge for HOURS when the
+    # tunnel is down (jax.devices() hangs, then UNAVAILABLE). Probe the
+    # backend with a bounded watchdog so a downed tunnel yields a valid
+    # one-line JSON verdict instead of a hung driver.
+    import os
+    import threading
+
+    probe_ok = threading.Event()
+    probe_err: list = []
+
+    def _probe():
+        try:
+            jax.devices()
+            probe_ok.set()
+        except Exception as e:  # surfaced in the JSON error field
+            probe_err.append(f"{type(e).__name__}: {e}")
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(180.0)
+    if not probe_ok.is_set():
+        err = probe_err[0] if probe_err else (
+            "jax backend init timed out after 180s (tunnel down?)"
+        )
+        print(json.dumps({
+            "metric": "p50_frame_ms", "value": -1.0, "unit": "ms",
+            "vs_baseline": 0.0, "error": err,
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+
     layers = 28
     try:
         params, text, cfg = build_decoder(layers)

@@ -472,11 +472,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
         )
 
         cfg_ = self.cfg
-        V = cfg_.text.vocab_size
         max_new = args.max_new_tokens
         rep = args.repetition_penalty
         eos_id = tokenizer.eos_token_id
-        dtype_ = self.dtype
         ft_ = cfg_.frame_num_tokens
         use_flash = self._use_flash
         shard_ctx = self._shard_ctx
@@ -517,7 +515,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             lanes with ``active=False`` are frozen throughout (masked
             updates on the small carry leaves; their scratch rows commit
             into their garbage zone). `mmduet.decode_loop` carries only a
-            (L, B, kh, max_new, hd) scratch through the decode while-loop
+            (L, B, kh, max_new-1, hd) scratch through the decode while-loop
             — carrying the B ~20k-slot caches made XLA double-buffer
             them, the HBM blowup that capped generation serving at B=2
             per chip (BENCH_r04)."""
@@ -863,14 +861,13 @@ class BatchedStreamEngine(BatchedStreamScorer):
         bookkeeping (engine `_generate_response`)."""
         gen_embeds = self._embed_ids(self._gen_prompt_ids)
         t = gen_embeds.shape[0]
+        W = max(self.args.max_new_tokens - 1, 1)
         for b in lanes:
-            self._check_fits(b, t + self.args.max_new_tokens)
+            self._check_fits(b, t + W)
         # frozen lanes receive BOTH the prompt-width prefill write and
-        # the max_new-wide scratch commit at their cursor
+        # the W-wide scratch commit at their cursor
         # (`mmduet.decode_loop` capacity contract)
-        self._guard_frozen_writes(
-            max(t, self.args.max_new_tokens), set(lanes)
-        )
+        self._guard_frozen_writes(max(t, W), set(lanes))
         active = np.zeros((self.B,), bool)
         active[list(lanes)] = True
         pre = self._cur.copy()

@@ -117,8 +117,13 @@ class LiveInferEngine:
                 ctx, cfg.text.num_heads, cfg.text.num_kv_heads, 1
             ):
                 self._shard_ctx = ctx
+        # auto-flash only off-mesh (or a degenerate 1-device mesh) or via
+        # shard_map: a mesh with model=1 but data>1 still compiles the
+        # serving fns through GSPMD, which cannot partition a pallas_call
+        n_mesh_devices = mesh.size if mesh is not None else 1
         self._use_flash = (
-            None if (model_n == 1 or self._shard_ctx is not None) else False
+            None if (n_mesh_devices == 1 or self._shard_ctx is not None)
+            else False
         )
         # activation dtype: from a norm leaf (robust to int8-quantized
         # weight leaves in the tree)
@@ -145,8 +150,6 @@ class LiveInferEngine:
         self.set_fps(args.frame_fps)
 
         # ---- jitted device functions ----
-        V = cfg.text.vocab_size
-
         use_flash = self._use_flash
         shard_ctx = self._shard_ctx
         if mesh is not None:
@@ -215,11 +218,12 @@ class LiveInferEngine:
         max_new = args.max_new_tokens
         rep = args.repetition_penalty
         eos_id = tokenizer.eos_token_id
+        act_sh = self._act_sharding
 
         def _generate(params, lora, embeds, k, v, cache_len, t_real, pen_mask):
             """Prefill the generation prompt then greedy-decode on device.
 
-            `mmduet.decode_loop` carries only a (L, 1, kh, max_new, hd)
+            `mmduet.decode_loop` carries only a (L, 1, kh, max_new-1, hd)
             scratch through the decode while-loop — the big cache is a
             loop invariant (carrying it made XLA double-buffer ~GBs of
             HBM at protocol-scale cache sizes)."""
@@ -230,6 +234,11 @@ class LiveInferEngine:
                 shard_ctx=shard_ctx,
             )
             cache = _pin_kv(cache)
+            if act_sh is not None:
+                # pin the mask output like the KV cache: an unpinned
+                # GSPMD-chosen sharding would miss the jit cache on the
+                # NEXT generation (sharding drift = silent recompile)
+                pen_out = jax.lax.with_sharding_constraint(pen_out, act_sh)
             # tokens + n + cursor packed into ONE (max_new+2,) array — a
             # single host fetch per generation instead of two round trips
             return packed[0], cache.k, cache.v, pen_out[0]
@@ -295,6 +304,10 @@ class LiveInferEngine:
         self.frame_latencies_ms: List[float] = []
         self._policy = ThresholdPolicy(self.args)
         self._pen_mask = jnp.zeros((self.cfg.text.vocab_size,), bool)
+        if self._act_sharding is not None:
+            # canonical input sharding (jit keys on it; see _generate)
+            self._pen_mask = jax.device_put(self._pen_mask,
+                                            self._act_sharding)
 
     def prewarm(
         self,
@@ -645,7 +658,11 @@ class LiveInferEngine:
     def _generate_response(self) -> str:
         gen_embeds = self._norm_act(self._embed_ids(self._gen_prompt_ids))
         t_real = gen_embeds.shape[0]
-        self.state.check_fits(t_real + self.args.max_new_tokens)
+        # prompt prefill + the W-wide scratch commit after it
+        # (`decode_loop` capacity contract: W = max(max_new - 1, 1))
+        self.state.check_fits(
+            t_real + max(self.args.max_new_tokens - 1, 1)
+        )
         pre_gen_cursor = self.state.cursor
         packed, k, v, pen_mask = self._generate(
             self.params, self.lora, gen_embeds,

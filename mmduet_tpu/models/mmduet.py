@@ -447,13 +447,20 @@ def decode_loop(
     [cache, read-only] + [scratch + current token] via the split
     attention's query offset (`qwen2_forward(scratch=...)`).
 
+    The scratch (and the commit window) is ``W = max(max_new - 1, 1)``
+    wide, not ``max_new``: the loop samples up to ``max_new`` tokens but
+    the LAST sampled token is returned without ever being fed back, so
+    at most ``max_new - 1`` K/V rows are produced (W floors at 1 so the
+    traced-but-never-run ``max_new == 1`` body stays shape-valid).
+
     Frozen (``active=False``) lanes run the forwards but commit nothing:
     their buf/cursor/penalty updates are masked, and their scratch rows
     are garbage committed beyond their frozen cursor — the batched
-    engine's established garbage zone. The caller must guarantee
-    ``cache_len[b] + t + max_new <= S`` for EVERY lane (frozen included —
-    the commit writes the full ``max_new`` window; a clamped
-    `dynamic_update_slice` start would corrupt committed history).
+    engine's established garbage zone. Capacity contract (a clamped
+    `dynamic_update_slice` start would corrupt committed history): for
+    every ACTIVE lane ``cache_len[b] + t + W <= S`` (prompt prefill at
+    the cursor, then the W-wide commit after it); for every FROZEN lane
+    ``cache_len[b] + max(t, W) <= S`` (both writes land AT its cursor).
 
     Returns ``(packed (B, max_new+2) [tokens | n | final cursor],
     updated cache, updated pen_mask)``.
@@ -485,13 +492,17 @@ def decode_loop(
     buf = jnp.zeros((B, max_new), jnp.int32)
     buf = buf.at[:, 0].set(jnp.where(active, tok0, 0))
     done = (tok0 == eos_id) | ~active
-    upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok0)
-    pen_mask = jnp.where((active & (tok0 != eos_id))[:, None], upd, pen_mask)
+    if rep is not None:  # mask is read only by penalized(): dead otherwise
+        upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(pen_mask, tok0)
+        pen_mask = jnp.where(
+            (active & (tok0 != eos_id))[:, None], upd, pen_mask
+        )
     n = jnp.where(active, 1, 0)
 
+    W = max(max_new - 1, 1)
     L, _, kh, _, hd = cache.k.shape
-    scratch_k = jnp.zeros((L, B, kh, max_new, hd), cache.k.dtype)
-    scratch_v = jnp.zeros((L, B, kh, max_new, hd), cache.v.dtype)
+    scratch_k = jnp.zeros((L, B, kh, W, hd), cache.k.dtype)
+    scratch_v = jnp.zeros((L, B, kh, W, hd), cache.v.dtype)
     dec = params["decoder"]
 
     def cond(s):
@@ -509,8 +520,9 @@ def decode_loop(
         logits = qwen2.lm_logits(params["lm_head"], hidden[:, :1])[:, 0]
         tok = jnp.argmax(penalized(logits, mask), axis=-1).astype(jnp.int32)
         buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
-        upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
-        mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
+        if rep is not None:
+            upd = jax.vmap(lambda m, tk: m.at[tk].set(True))(mask, tok)
+            mask = jnp.where((~done & (tok != eos_id))[:, None], upd, mask)
         n = jnp.where(done, n, i + 1)
         cursor = jnp.where(done, cursor, cursor + 1)
         last_tok = jnp.where(done, last_tok, tok)
@@ -525,18 +537,8 @@ def decode_loop(
     # ONE commit of the scratch into the big cache at each lane's post-
     # prompt cursor; slots beyond a lane's fed count hold garbage that
     # lands in its garbage zone (see capacity contract above)
-    # unrolled per-lane chain, NOT a vmapped DUS: the vmap lowers to a
-    # scatter that materializes a transpose copy of the whole cache (a
-    # 2.4 GB temp at B=4 protocol scale); chained updates alias in place
-    k_out, v_out = cache.k, cache.v
-    for b in range(B):
-        k_out = jax.lax.dynamic_update_slice(
-            k_out, sk[:, b : b + 1], (0, b, 0, base[b], 0)
-        )
-        v_out = jax.lax.dynamic_update_slice(
-            v_out, sv[:, b : b + 1], (0, b, 0, base[b], 0)
-        )
+    out_cache = qwen2.commit_lanes(cache, sk, sv, base)
     packed = jnp.concatenate(
         [buf, n[:, None].astype(jnp.int32), cursor[:, None]], axis=1
     )
-    return packed, KVCache(k=k_out, v=v_out), pen_mask
+    return packed, out_cache, pen_mask

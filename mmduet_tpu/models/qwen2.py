@@ -456,25 +456,32 @@ def qwen2_forward(
     if kv_cache is not None:
         # ONE in-place (donated-buffer-aliased) bucket-wide write of every
         # layer's chunk K/V; padded tail slots hold garbage that the next
-        # chunk overwrites — same contract as before. Per-lane cursors
-        # need a per-lane start index: an UNROLLED chain of per-lane
-        # `dynamic_update_slice` (B is static). A vmapped DUS lowers to a
-        # scatter whose lane-minor operand layout forces a transpose COPY
-        # of the entire cache — a 2.4 GB HLO temp at B=4 protocol scale,
-        # the residual OOM after scratch decode; the chained form aliases
-        # in place, each write O(chunk bytes).
-        k_out, v_out = kv_cache.k, kv_cache.v
-        for b in range(B):
-            k_out = jax.lax.dynamic_update_slice(
-                k_out, chunk_kv[0][:, b : b + 1],
-                (0, b, 0, cache_len_b[b], 0),
-            )
-            v_out = jax.lax.dynamic_update_slice(
-                v_out, chunk_kv[1][:, b : b + 1],
-                (0, b, 0, cache_len_b[b], 0),
-            )
-        return hidden, KVCache(k=k_out, v=v_out)
+        # chunk overwrites — same contract as before.
+        return hidden, commit_lanes(kv_cache, chunk_kv[0], chunk_kv[1],
+                                    cache_len_b)
     return hidden, None
+
+
+def commit_lanes(cache: KVCache, new_k: jax.Array, new_v: jax.Array,
+                 starts: jax.Array) -> KVCache:
+    """Write (L, B, kh, t, hd) K/V rows into the (L, B, kh, S, hd) cache
+    at per-lane slot ``starts[b]`` — as an UNROLLED chain of per-lane
+    `dynamic_update_slice` (B is static), NEVER a vmapped DUS: the vmap
+    lowers to a scatter whose lane-minor operand layout forces a
+    transpose COPY of the entire cache (a 2.4 GB HLO temp at B=4
+    protocol scale — the residual OOM after scratch decode); the chained
+    form aliases in place, each write O(chunk bytes). Shared by
+    `qwen2_forward`'s chunk commit and `mmduet.decode_loop`'s post-loop
+    scratch commit."""
+    k_out, v_out = cache.k, cache.v
+    for b in range(new_k.shape[1]):
+        k_out = jax.lax.dynamic_update_slice(
+            k_out, new_k[:, b : b + 1], (0, b, 0, starts[b], 0)
+        )
+        v_out = jax.lax.dynamic_update_slice(
+            v_out, new_v[:, b : b + 1], (0, b, 0, starts[b], 0)
+        )
+    return KVCache(k=k_out, v=v_out)
 
 
 def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.Array:
