@@ -38,7 +38,7 @@ Replaces flash-attention-2 in the reference's decode path
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +63,7 @@ def pick_block_s(S: int, preferred: int = 2048) -> int:
     """Largest KV block size <= ``preferred`` that divides the cache: big
     blocks amortize per-grid-step DMA overhead (dominant at protocol-scale
     caches); 512 remains the floor for legacy 512-rounded capacities."""
-    for bs in (preferred, 1024, 512):
+    for bs in sorted({preferred, 2048, 1024, 512}, reverse=True):
         if bs <= preferred and S % bs == 0 and S >= bs:
             return bs
     return 0  # no admissible block size -> jnp fallback
@@ -79,7 +79,7 @@ def attention_available(S: int, head_dim: int, block_s: int = 2048) -> bool:
 
 def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
             m_ref, l_ref, acc_ref,
-            *, block_s: int, block_rows: int, group: int, q_len: int,
+            *, block_s: int, block_rows: int, q_len: int,
             scale: float):
     b = pl.program_id(0)
     qb = pl.program_id(2)
@@ -262,12 +262,37 @@ def flash_decode_attention(
             pl.BlockSpec(
                 (1, 1, 1, block_s, hd),
                 # step 0 is the chunk step; its (unused) cache load
-                # clamps to block 0
-                lambda b, h, qb, j, s: (s[0, 2], b, h, jnp.maximum(j - 1, 0), 0),
+                # clamps to block 0. Blocks at/after the lane's cursor
+                # clamp to the lane's LAST live block: the kernel never
+                # reads them (the pl.when predicates are grid-derived),
+                # and a repeated block index between consecutive grid
+                # steps elides the DMA — so HBM traffic tracks each
+                # lane's live cache length, not the buffer capacity S
+                # (a 20k-slot buffer at 2k live slots would otherwise
+                # stream ~10x dead K/V per decode step).
+                lambda b, h, qb, j, s: (
+                    s[0, 2], b, h,
+                    jnp.minimum(
+                        jnp.maximum(j - 1, 0),
+                        jnp.maximum(
+                            (s[b, 0] + block_s - 1) // block_s - 1, 0
+                        ),
+                    ),
+                    0,
+                ),
             ),
             pl.BlockSpec(
                 (1, 1, 1, block_s, hd),
-                lambda b, h, qb, j, s: (s[0, 2], b, h, jnp.maximum(j - 1, 0), 0),
+                lambda b, h, qb, j, s: (
+                    s[0, 2], b, h,
+                    jnp.minimum(
+                        jnp.maximum(j - 1, 0),
+                        jnp.maximum(
+                            (s[b, 0] + block_s - 1) // block_s - 1, 0
+                        ),
+                    ),
+                    0,
+                ),
             ),
             pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
@@ -291,7 +316,7 @@ def flash_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     out = pl.pallas_call(
-        partial(_kernel, block_s=block_s, block_rows=block_rows, group=group,
+        partial(_kernel, block_s=block_s, block_rows=block_rows,
                 q_len=T, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, rows_padded, hd), q.dtype),
@@ -407,14 +432,17 @@ try:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds as _SegmentIds,
         flash_attention as _stock_flash_attention,
-        mha_reference as _mha_reference,
     )
 
     _FULL_FLASH_OK = True
 except Exception:  # pragma: no cover
     _FULL_FLASH_OK = False
 
-_FULL_BLOCK = 512  # sequence pads to this; the kernel's major block size
+_FULL_BLOCK = 128  # sequence pad multiple == the stock kernel's default
+# block size (BlockSizes.get_default: every block 128). Padding beyond
+# the block multiple is pure wasted work on segment-masked tokens: the
+# SigLIP serving shape T=729 pads to 768 here vs 1024 at a 512 multiple
+# (+33% dead QK/PV FLOPs).
 
 
 def full_attention_available(head_dim: int) -> bool:
@@ -488,9 +516,16 @@ def flash_full_attention(
     """Causal self-attention over a (left- or right-)padded batch,
     flash-fused fwd+bwd. Matches `qwen2._attend` with the mask
     ``causal & attn_mask[s] & attn_mask[t]`` for every REAL query row
-    (padding rows produce garbage the loss masks out), because padded
-    rows hold distinct positions at the sequence edge, so index-causality
-    equals the position-causality `_attend` applies.
+    (padding rows produce garbage the loss masks out). Equivalence
+    argument: pad rows are excluded on BOTH paths (attn_mask in jnp,
+    segment ids here), and real-token positions from
+    `train_forward`'s ``cumsum(attn_mask)-1`` are strictly increasing
+    along the index dim, so index-causality (this kernel) equals the
+    position-causality `_attend` applies. CAUTION: that argument needs
+    real positions to be index-monotonic — a caller with repeated REAL
+    positions (e.g. same-position frame tokens) would diverge: jnp's
+    ``pos >= pos`` lets equal-position tokens attend bidirectionally,
+    the index-causal kernel does not.
     """
     B, T, nh, hd = q.shape
     kh = k.shape[2]

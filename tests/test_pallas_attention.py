@@ -138,6 +138,31 @@ def test_per_lane_cursors():
         )
 
 
+def test_multiblock_cache_short_cursors():
+    """Regression for the dead-block DMA clamp: a MULTI-block cache
+    (S=8192, 4 x 2048 blocks) with per-lane cursors far short of
+    capacity — the cache BlockSpec index map clamps dead grid steps to
+    each lane's last live block, which must not change any output
+    (clamped blocks are never read; the pl.when predicates are
+    grid-derived). Covers cursors inside block 0, at an exact block
+    boundary, spanning several blocks, and zero."""
+    T, nh, kh, hd, S = 8, 4, 2, 128, 8192
+    q, k, v, ck, cv = _mk(T, nh, kh, hd, S, seed=13, B=4)
+    cls = (100, 2048, 5000, 0)
+    trs = (8, 3, 5, 8)
+    out = flash_decode_attention(
+        q, k, v, ck, cv, _vec(*cls), _vec(*trs), jnp.int32(0),
+        interpret=True,
+    )
+    for b in range(4):
+        ref = _jnp_reference(q[b], k[0, b], v[0, b], ck[b], cv[b],
+                             cls[b], trs[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, : trs[b]], ref[: trs[b]],
+            atol=2e-3, rtol=1e-3, err_msg=f"lane {b}",
+        )
+
+
 class TestFullSequenceFlash:
     """Training-path flash wrapper: the segment-id/padding adaptation must
     reproduce `qwen2._attend`'s position-causal masked attention for every
