@@ -107,10 +107,14 @@ class TestTPQuantizedServing:
             if bits == 8:
                 assert "model" not in str(o["qs"].spec), (bits, o["qs"].spec)
 
-    def test_int8_tp_engine_matches_unsharded(self):
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_quantized_tp_engine_matches_unsharded(self, bits):
+        """e2e under a real 2-device mesh: GSPMD must partition the
+        factored-int8 and grouped-int4 contractions with the sharded
+        {qw,qs} leaves, outputs equal to the unsharded engine."""
         from mmduet_tpu.models.quant import quantize_params
 
-        q = quantize_params(PARAMS)
+        q = quantize_params(PARAMS, bits=bits)
         ref = LiveInferEngine(q, CFG, CharTokenizer(
             frame_num_tokens=CFG.frame_num_tokens), _args(), block_frames=4)
         ref_out, ref_scores = _run(ref)
