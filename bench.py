@@ -248,10 +248,15 @@ def run_score(params, text, cfg):
     return np.array(lat), np.array(single_lat)
 
 
-def run_generation(params, text, cfg, max_new=64):
+def run_generation(params, text, cfg, max_new=64, kv_quant=None):
     """Greedy decode tok/s with the real-shape lm_head resident
     (prefill of the gen prompt + device-side token loop, the engine's
-    `_generate` shape). Cache sized for a mid-video generation."""
+    `_generate` shape). Cache sized for a mid-video generation.
+
+    ``kv_quant="int8"``: int8 KV cache. At this 2k-live-slot scale the
+    weight reads dominate (cache ~117 MB/step vs ~7 GB weights), so the
+    expected single-stream delta is small — the protocol-scale (20k
+    slot) gen-serving stage is where the halved cache bandwidth shows."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -269,7 +274,7 @@ def run_generation(params, text, cfg, max_new=64):
                 jnp.bfloat16,
             ) * 0.02
         )
-    cache = init_kv_cache(text, 1, 4096, dtype=jnp.bfloat16)
+    cache = init_kv_cache(text, 1, 4096, dtype=jnp.bfloat16, quant=kv_quant)
     V = text.vocab_size
 
     @partial(jax.jit, donate_argnums=(1, 2))
@@ -560,26 +565,9 @@ def decoder_matmul_flops_per_token(text) -> float:
     return 2.0 * text.num_layers * per_layer
 
 
-def run_train_step(layers: int, T: int = 2048, accum: int = 1,
-                   use_flash="auto"):
-    """LoRA fine-tune step throughput at layer-scaled 7B shapes through
-    the REAL `train.step.make_train_step` (grad-accum scan, AdamW on
-    LoRA+projector+heads, non-finite guard, remat) — the reference
-    recipe's hot loop (`scripts/train.sh:4-9`, HF Trainer + ZeRO-2).
-
-    One v5e chip cannot hold the full-depth bf16 decoder + lm_head +
-    grads + Adam state (see docs/MEMORY_BUDGET.md — the 7B train config
-    is a v5e-8 FSDP job), so this stage runs HALF depth (14 layers) and
-    reports per-chip tokens/s and MFU, which are depth-portable: MFU is
-    utilization of the chip, and tokens/s scales ~linearly in 1/depth
-    (the driver-validated multi-chip path is `__graft_entry__
-    .dryrun_multichip`).
-
-    MFU accounting: the standard 6*N*tokens training-FLOPs convention
-    (fwd 2N + bwd 4N). With remat + mostly-frozen weights the true count
-    differs in two nearly cancelling ways: frozen matmuls skip the wgrad
-    (-2N) but remat recomputes the forward (+2N).
-    """
+def _train_fixture(layers: int, accum: int, use_flash="auto"):
+    """Shared train-bench setup: layer-scaled decoder + real-shape
+    lm_head/projector, LoRA state, and the jitted step."""
     import jax
     import jax.numpy as jnp
 
@@ -614,6 +602,117 @@ def run_train_step(layers: int, T: int = 2048, accum: int = 1,
                      dtype=jnp.float32)
     state = init_train_state(params, lora, tx)
     step = make_train_step(cfg, args, tx, sched, use_flash=use_flash)
+    return params, text, cfg, state, step
+
+
+def _train_batch(text, T: int, t_real: int, accum: int = 1):
+    """Mixture-shaped micro batch: t_real real tokens right-padded to T."""
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(T)
+    ids = r.randint(0, text.vocab_size - 2, size=(accum, 1, T))
+    ids[:, :, t_real:] = 0
+    mask = np.zeros((accum, 1, T), bool)
+    mask[:, :, :t_real] = True
+    labels = ids.copy()
+    labels[:, :, : t_real // 4] = -100  # prompt region unlearned
+    labels[:, :, t_real:] = -100
+    inf_lab = np.full((accum, 1, T), -100)
+    inf_lab[:, :, 48:t_real:49] = r.randint(
+        0, 2, size=inf_lab[:, :, 48:t_real:49].shape
+    )
+    return {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attn_mask": jnp.asarray(mask, bool),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "informative_labels": jnp.asarray(inf_lab, jnp.int32),
+        "relevance_labels": jnp.asarray(inf_lab, jnp.int32),
+    }
+
+
+def run_train_bucketed(layers: int):
+    """Length-bucketed vs fixed-pad REAL-token training throughput on an
+    MMDuetIT-shaped length mixture (VERDICT r4 #3). The reference recipe
+    trains a mixture spanning ~1k-token grounding samples to ~5k-token
+    DVC samples (`scripts/train.sh:4-9`, its torch collator left-pads per
+    batch — a new shape every step); the r4 collator padded everything to
+    one protocol-max shape, burning full-length attention+matmul on pads.
+    The bucketed collator (`data/collator.py buckets=`) pads each micro
+    to the smallest of 3 static buckets; this stage measures the step
+    wall at each bucket shape and reports mixture-weighted real-token
+    throughput both ways."""
+    params, text, cfg, state, step = _train_fixture(layers, accum=1)
+
+    # MMDuetIT-shaped mixture: 40% grounding (~1.1k), 40% MAGQA (~2.3k),
+    # 20% DVC (~5k); protocol-max pad = 100 frames * 49 + 1024 = 5924
+    mix = [(1082, 4), (2341, 4), (4897, 2)]
+    buckets = (1280, 2560, 5924)
+    t_fixed = {}
+    times = {}
+    for T in buckets:
+        b = {}
+        for t_real, _ in mix:
+            if t_real <= T and (T == buckets[-1] or
+                                T == min(x for x in buckets if x >= t_real)):
+                b[t_real] = _train_batch(text, T, t_real)
+        for t_real, batch in b.items():
+            state, metrics = step(state, params, batch)
+            float(metrics["loss"])  # compile barrier
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                state, metrics = step(state, params, batch)
+                float(metrics["loss"])
+                ts.append(time.perf_counter() - t0)
+            times[(t_real, T)] = min(ts)
+            if T == buckets[-1]:
+                t_fixed[t_real] = min(ts)
+    real_toks = sum(t * n for t, n in mix)
+    padded_fixed = buckets[-1] * sum(n for _, n in mix)
+    bucket_of = {t: min(x for x in buckets if x >= t) for t, _ in mix}
+    padded_bucketed = sum(bucket_of[t] * n for t, n in mix)
+    wall_fixed = sum(t_fixed[t] * n for t, n in mix)
+    wall_bucketed = sum(times[(t, bucket_of[t])] * n for t, n in mix)
+    out = {
+        "train_fixed_real_tok_s": round(real_toks / wall_fixed, 1),
+        "train_bucketed_real_tok_s": round(real_toks / wall_bucketed, 1),
+        "train_bucket_speedup": round(wall_fixed / wall_bucketed, 2),
+        "train_pad_frac_fixed": round(1 - real_toks / padded_fixed, 3),
+        "train_pad_frac_bucketed": round(1 - real_toks / padded_bucketed, 3),
+    }
+    del state, params
+    return out
+
+
+def run_train_step(layers: int, T: int = 2048, accum: int = 1,
+                   use_flash="auto"):
+    """LoRA fine-tune step throughput at layer-scaled 7B shapes through
+    the REAL `train.step.make_train_step` (grad-accum scan, AdamW on
+    LoRA+projector+heads, non-finite guard, remat) — the reference
+    recipe's hot loop (`scripts/train.sh:4-9`, HF Trainer + ZeRO-2).
+
+    One v5e chip cannot hold the full-depth bf16 decoder + lm_head +
+    grads + Adam state (see docs/MEMORY_BUDGET.md — the 7B train config
+    is a v5e-8 FSDP job), so this stage runs HALF depth (14 layers) and
+    reports per-chip tokens/s and MFU, which are depth-portable: MFU is
+    utilization of the chip, and tokens/s scales ~linearly in 1/depth
+    (the driver-validated multi-chip path is `__graft_entry__
+    .dryrun_multichip`).
+
+    MFU accounting: the standard 6*N*tokens training-FLOPs convention
+    (fwd 2N + bwd 4N). With remat + mostly-frozen weights the true count
+    differs in two nearly cancelling ways: frozen matmuls skip the wgrad
+    (-2N) but remat recomputes the forward (+2N).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mmduet_tpu.config import TrainArgs
+    from mmduet_tpu.models.lora import init_lora
+    from mmduet_tpu.train.optimizer import make_optimizer
+    from mmduet_tpu.train.step import init_train_state, make_train_step
+
+    params, text, cfg, state, step = _train_fixture(layers, accum, use_flash)
 
     r = np.random.RandomState(0)
     ids = r.randint(0, text.vocab_size - 2, size=(accum, 1, T))
@@ -677,7 +776,7 @@ def measure_rtt_ms(n: int = 20) -> float:
 
 def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
                         n_frames: int = 400, quant: str = "int8",
-                        b_list=None):
+                        b_list=None, kv_quant=None):
     # B=4 at the full 400-frame protocol scale fits one v5e chip since
     # scratch-cache decode (the while-loop no longer carries — and XLA
     # no longer double-buffers — the B 20k-slot caches) and the unrolled
@@ -724,6 +823,7 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
         eng = BatchedStreamEngine(
             params, cfg, tok, args, n_streams=B, block_frames=block,
             kv_cache_size=n_frames * 49 + 1024,
+            kv_cache_quant=kv_quant,
         )
         emb = jax.random.normal(
             jax.random.PRNGKey(7), (B, n_frames, cfg.frame_num_tokens, H),
@@ -755,6 +855,8 @@ def run_multistream_gen(layers: int, n_streams: int = 4, block: int = 8,
     for B in bs:
         assert out[B][1] >= 2 * B, f"triggers missing at B={B}: {out}"
     sfx = "" if quant == "int8" else f"_{quant}"
+    if kv_quant == "int8":
+        sfx += "_kv8"
     res = {
         f"gen_serving_b{B}{sfx}_frames_s": round(out[B][0], 1) for B in bs
     }
@@ -997,6 +1099,9 @@ def main():
         extra["generation_tok_s_int8"] = round(
             run_generation(qparams, qtext, qcfg), 1
         )
+        extra["generation_tok_s_kv8"] = round(
+            run_generation(qparams, qtext, qcfg, kv_quant="int8"), 1
+        )
         del qparams
         gc.collect()
     except Exception as e:
@@ -1070,6 +1175,30 @@ def main():
               file=sys.stderr)
     gc.collect()
 
+    # int8 KV cache (per-token quantized K/V, dequant inside the flash
+    # kernel): halves the dominant HBM consumer at protocol scale. B=4
+    # isolates the per-lane cache-bandwidth win vs the bf16-cache B=4
+    # number; B=8 is the doubled lane capacity the halved caches free.
+    try:
+        extra.update(run_multistream_gen(layers, kv_quant="int8",
+                                         b_list=(4, 8)))
+    except Exception as e:
+        print(f"kv8 gen serving failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
+
+    # max-capacity config: int4 weights (~3.9 GB) + int8 caches
+    # (~0.64 GB/lane at 20k slots) -> 12 protocol-scale lanes on one
+    # 16 GB chip (the B=16 step's frame embeds alone are ~2.3 GB, which
+    # is what caps this at 12)
+    try:
+        extra.update(run_multistream_gen(layers, quant="int4",
+                                         kv_quant="int8", b_list=(12,)))
+    except Exception as e:
+        print(f"int4+kv8 gen serving failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
+
     # dynamic-admission churn: more sessions than lanes, mixed lengths
     try:
         extra.update(run_serve_churn(layers))
@@ -1084,6 +1213,16 @@ def main():
         extra.update(run_train_step(min(layers, 14)))
     except Exception as e:
         print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    gc.collect()
+
+    # length-bucketed vs fixed-pad real-token training throughput on the
+    # MMDuetIT-shaped mixture (the padding the r4 fixed-shape collator
+    # burned — VERDICT r4 weak #5)
+    try:
+        extra.update(run_train_bucketed(min(layers, 14)))
+    except Exception as e:
+        print(f"bucketed train bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     gc.collect()
 
     peak, resident, method = hbm_probe()

@@ -110,6 +110,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the run (view "
                         "with tensorboard/xprof) — the tracing hook the "
                         "reference lacks (SURVEY.md §5.1)")
+    p.add_argument("--kv_cache_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="int8: per-token-quantized KV cache — halves "
+                        "cache HBM (doubling lanes-per-chip at protocol "
+                        "scale) and decode cache bandwidth; score drift "
+                        "bound pinned by tests/test_kv_quant.py")
     return p
 
 
@@ -174,7 +180,8 @@ def build_engine(args):
     cfg, params, lora, tokenizer = _load_model(args)
     test_args = _test_args(args, cfg)
     params, mesh = _maybe_shard_tp(params, args.mesh_model)
-    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh)
+    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh,
+                             kv_cache_quant=args.kv_cache_quant)
     return engine
 
 
@@ -312,6 +319,7 @@ def _run_batched(args) -> None:
     engine = BatchedStreamEngine(
         params, cfg, tokenizer, test_args, n_streams=B, mesh=mesh,
         gen_coalesce_rounds=args.gen_coalesce_rounds,
+        kv_cache_quant=args.kv_cache_quant,
         # same block policy as the single engine: grounding never
         # generates, so a trigger never rolls frames back and a big
         # fused block is a pure win

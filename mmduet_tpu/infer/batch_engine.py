@@ -26,6 +26,7 @@ Two surfaces:
 from __future__ import annotations
 
 import collections
+import sys
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -65,6 +66,9 @@ class BatchedStreamScorer:
         kv_cache_size: Optional[int] = None,
         dtype=None,
         mesh=None,
+        kv_cache_quant: Optional[str] = None,  # "int8": per-token int8
+        # KV caches (see `qwen2.init_kv_cache`) — halves the dominant
+        # HBM consumer at batched protocol scale, doubling lanes-per-chip
     ):
         """``mesh``: a (data, model) `jax.sharding.Mesh` for parallel
         BATCHED serving — shard ``params`` with
@@ -137,6 +141,7 @@ class BatchedStreamScorer:
         self.frame_fps = frame_fps if frame_fps > 0 else 1.0
         self.block_frames = block_frames
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
+        self.kv_cache_quant = kv_cache_quant
         from ..config import DEFAULT_SYSTEM_PROMPT
 
         self.system_prompt = system_prompt or DEFAULT_SYSTEM_PROMPT
@@ -223,7 +228,8 @@ class BatchedStreamScorer:
         # at some later unrelated-looking op)
         self._k = self._v = None
         cache = init_kv_cache(
-            self.cfg.text, self.B, self._cache_size, self.dtype
+            self.cfg.text, self.B, self._cache_size, self.dtype,
+            quant=self.kv_cache_quant,
         )
         if self._kv_sh is not None:
             cache = KVCache(
@@ -439,6 +445,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         dtype=None,
         mesh=None,
         gen_coalesce_rounds: int = 0,
+        kv_cache_quant: Optional[str] = None,
     ):
         super().__init__(
             params, cfg, tokenizer,
@@ -450,6 +457,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             kv_cache_size=kv_cache_size,
             dtype=dtype,
             mesh=mesh,
+            kv_cache_quant=kv_cache_quant,
         )
         validate_threshold_args(args)
         self.args = args
@@ -726,16 +734,35 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 idx, sess = nxt
                 self._admit(idle[0], sess)
                 self._lane_sess[idle[0]] = idx
+            # a zero-frame session (nothing to stream, no pending
+            # generation) never enters `live` — retire it NOW, not when
+            # every other lane drains: under continuous admission a
+            # long-stream round would otherwise wedge its lane for
+            # effectively the whole run (ADVICE r4). Flagged on stderr so
+            # downstream eval can tell "no frames decoded" apart from
+            # "streamed with no triggers" — the yielded tuples look alike.
+            drained = [
+                b for b in range(self.B)
+                if self._lane_sess[b] is not None
+                and self._remaining(b) == 0 and b not in self._pending_gen
+            ]
+            if drained:
+                for b in drained:
+                    if self._lengths[b] == 0:
+                        print(
+                            f"serve: session {self._lane_sess[b]} admitted "
+                            "with zero frames (decode failure upstream?) — "
+                            "retiring with no scores", file=sys.stderr,
+                        )
+                    yield self._retire(b)
+                continue  # freed lanes: admit before the next round
             live = [
                 b for b in range(self.B)
                 if self._lane_sess[b] is not None
                 and (self._remaining(b) > 0 or b in self._pending_gen)
             ]
             if not live:
-                # sessions with zero frames (or all done): flush + stop
-                for b in range(self.B):
-                    if self._lane_sess[b] is not None:
-                        yield self._retire(b)
+                # every lane idle (drained lanes were retired above)
                 if exhausted:
                     return
                 continue

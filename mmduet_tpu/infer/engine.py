@@ -72,6 +72,10 @@ class LiveInferEngine:
         dtype=None,
         block_frames: Optional[int] = None,
         mesh=None,
+        kv_cache_quant: Optional[str] = None,  # "int8": per-token int8
+        # KV cache ({"qw","qs"} leaves, `qwen2.init_kv_cache`) — halves
+        # cache HBM footprint and decode bandwidth; scores drift within
+        # the bound pinned by tests/test_kv_quant.py
     ):
         """``mesh``: a (data, model) `jax.sharding.Mesh` for
         tensor-parallel serving — shard ``params`` with
@@ -128,6 +132,7 @@ class LiveInferEngine:
         # activation dtype: from a norm leaf (robust to int8-quantized
         # weight leaves in the tree)
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
+        self.kv_cache_quant = kv_cache_quant
 
         validate_threshold_args(args)
         self.args = args
@@ -283,10 +288,16 @@ class LiveInferEngine:
         self.frame_interval = 1.0 / self.frame_fps
 
     def reset(self):
-        cache = init_kv_cache(self.cfg.text, 1, self._cache_size, self.dtype)
+        cache = init_kv_cache(
+            self.cfg.text, 1, self._cache_size, self.dtype,
+            quant=self.kv_cache_quant,
+        )
         if self.mesh is not None:
             from ..parallel.sharding import kv_cache_sharding
 
+            # one sharding broadcast over the k/v pytrees: the spec has
+            # no trailing Nones, so it applies to both the 5D values and
+            # (int8 cache) the 4D scale leaves
             sh = kv_cache_sharding(self.mesh, self.cfg.text.num_kv_heads)
             cache = KVCache(
                 jax.device_put(cache.k, sh), jax.device_put(cache.v, sh)

@@ -500,9 +500,12 @@ def decode_loop(
     n = jnp.where(active, 1, 0)
 
     W = max(max_new - 1, 1)
-    L, _, kh, _, hd = cache.k.shape
-    scratch_k = jnp.zeros((L, B, kh, W, hd), cache.k.dtype)
-    scratch_v = jnp.zeros((L, B, kh, W, hd), cache.v.dtype)
+    L, _, kh, _, hd = qwen2.kv_arr(cache.k).shape
+    # scratch stays bf16 even under an int8 big cache: it is tiny
+    # (W <= max_new rows) and quantizing per decode step would recompress
+    # already-quantized garbage; the post-loop commit quantizes once
+    scratch_k = jnp.zeros((L, B, kh, W, hd), embeds.dtype)
+    scratch_v = jnp.zeros((L, B, kh, W, hd), embeds.dtype)
     dec = params["decoder"]
 
     def cond(s):

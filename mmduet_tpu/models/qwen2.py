@@ -41,20 +41,71 @@ class KVCache(NamedTuple):
     """Preallocated KV cache: k/v of shape (L, B, kv_heads, S_max, head_dim).
 
     Head-major layout: each head's (S, hd) slab is contiguous, which is what
-    the pallas flash-decode kernel streams block-by-block."""
+    the pallas flash-decode kernel streams block-by-block.
 
-    k: jax.Array
-    v: jax.Array
+    **int8 cache** (``init_kv_cache(quant="int8")``): each of k/v is a
+    ``{"qw": int8 (L,B,kh,S,hd), "qs": f32 (L,B,kh,S)}`` pytree instead of
+    a bf16 array — the same leaf convention as int8 weights
+    (`models/quant.py`), so every ``KVCache(k, v)`` passthrough, jit
+    signature, donation, and single-sharding `device_put` in the engines
+    works unchanged. Rows are quantized symmetrically per (layer, lane,
+    head, slot) at commit time (`commit_lanes`); the flash kernel dequants
+    via rank-1 column scalings. Halves cache HBM footprint AND decode
+    bandwidth — the next 2x in lanes-per-chip after scratch decode."""
+
+    k: Any
+    v: Any
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return kv_arr(self.k).shape[3]
+
+
+def kv_arr(leaf) -> jax.Array:
+    """The cache's value array for either layout (bf16 array or the int8
+    ``{"qw","qs"}`` dict)."""
+    return leaf["qw"] if isinstance(leaf, dict) else leaf
+
+
+def kv_quantized(cache: "KVCache") -> bool:
+    return isinstance(cache.k, dict)
+
+
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-token int8 over the trailing head_dim: (..., hd) bf16
+    -> ((..., hd) int8, (...) f32 scale). Device-side (runs inside the
+    jitted commit); exact inverse up to the int8 rounding."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-20) / 127.0
+    qw = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return qw, scale
+
+
+def dequantize_kv(leaf, dtype=jnp.float32) -> jax.Array:
+    """{"qw","qs"} -> dense (…, hd) values (jnp fallback path / tests)."""
+    if not isinstance(leaf, dict):
+        return leaf.astype(dtype)
+    return (
+        leaf["qw"].astype(jnp.float32) * leaf["qs"].astype(jnp.float32)[..., None]
+    ).astype(dtype)
 
 
 def init_kv_cache(
-    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
+    quant: Optional[str] = None,
 ) -> KVCache:
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quant == "int8":
+        def leaf():
+            return {
+                "qw": jnp.zeros(shape, jnp.int8),
+                "qs": jnp.zeros(shape[:-1], jnp.float32),
+            }
+
+        return KVCache(k=leaf(), v=leaf())
+    if quant is not None:
+        raise ValueError(f"unknown KV cache quant: {quant!r} (use 'int8')")
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -276,8 +327,19 @@ def qwen2_forward(
     B, T, H = embeds.shape
     cos, sin = _rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
+    flash_mono_ok = None  # full-mode auto-flash positions guard
     if kv_cache is not None:
+        if attn_mask is not None:
+            # Streaming handles right-padding via t_real only; a mask
+            # with interior holes would be silently dropped here, giving
+            # the caller different attention semantics than asked for
+            # (ADVICE r4). Fail loudly instead.
+            raise ValueError(
+                "attn_mask is a full-mode (training) argument; streaming "
+                "masks padding via t_real (right-padded chunks only)"
+            )
         S = kv_cache.max_len
+        kv_q = kv_quantized(kv_cache)
         if use_flash is None:
             from ..ops import attention as _att
 
@@ -289,7 +351,7 @@ def qwen2_forward(
             use_flash = (
                 (jax.default_backend() == "tpu" or _att._FORCE_INTERPRET)
                 and _att.attention_available(S, cfg.head_dim)
-                and kv_cache.k.dtype == embeds.dtype
+                and (kv_q or kv_cache.k.dtype == embeds.dtype)
             )
         if t_real is None:
             t_real = jnp.int32(T)
@@ -317,6 +379,23 @@ def qwen2_forward(
                 and full_attention_available(cfg.head_dim)
                 and T >= 512
             )
+            if use_flash:
+                # The equivalence above NEEDS real-token positions to be
+                # strictly increasing along the index dim (repeated real
+                # positions attend bidirectionally under position-
+                # causality but not under the index-causal kernel). When
+                # AUTO-enabled, verify it on-device and poison the output
+                # rather than silently diverge (ADVICE r4); an explicit
+                # use_flash=True caller owns the contract themselves.
+                real = (
+                    attn_mask if attn_mask is not None
+                    else jnp.ones((B, T), bool)
+                )
+                both = real[:, :-1] & real[:, 1:]
+                flash_mono_ok = jnp.all(
+                    jnp.where(both, positions[:, 1:] > positions[:, :-1],
+                              True)
+                )
         # causal over the chunk, optionally masked for padding
         mask = positions[:, :, None] >= positions[:, None, :]
         # padding tokens neither attend nor are attended
@@ -355,9 +434,11 @@ def qwen2_forward(
 
         if kv_cache is not None:
             layer = inputs["layer"]
-            # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd)
-            k_hm = k.transpose(0, 2, 1, 3).astype(kv_cache.k.dtype)
-            v_hm = v.transpose(0, 2, 1, 3).astype(kv_cache.v.dtype)
+            # chunk (B, T, kh, hd) -> head-major (B, kh, T, hd); stays
+            # bf16 under an int8 cache (quantization happens at commit)
+            el_dtype = embeds.dtype if kv_q else kv_cache.k.dtype
+            k_hm = k.transpose(0, 2, 1, 3).astype(el_dtype)
+            v_hm = v.transpose(0, 2, 1, 3).astype(el_dtype)
             if scratch is not None:
                 # scratch decode: the chunk operand becomes [generated
                 # tokens' K/V ++ this chunk] — a small (B, kh, M, hd)
@@ -380,13 +461,19 @@ def qwen2_forward(
                 ck_op, cv_op = k_hm, v_hm
                 tr_att = t_real_b
                 q_off = None
+            kc_arr, vc_arr = kv_arr(kv_cache.k), kv_arr(kv_cache.v)
+            scale_kw = (
+                dict(k_scale=kv_cache.k["qs"], v_scale=kv_cache.v["qs"])
+                if kv_q else {}
+            )
             if use_flash and shard_ctx is not None:
                 from ..ops.attention import flash_decode_attention_sharded
 
                 attn = flash_decode_attention_sharded(
-                    q, kv_cache.k, kv_cache.v,
+                    q, kc_arr, vc_arr,
                     ck_op.astype(q.dtype), cv_op.astype(q.dtype),
                     cache_len_b, tr_att, layer, shard_ctx, q_offset=q_off,
+                    **scale_kw,
                 )
             elif use_flash:
                 from ..ops.attention import flash_decode_attention
@@ -396,19 +483,28 @@ def qwen2_forward(
                 # per-layer cache slice is ever materialized, and only
                 # blocks below each lane's cursor are read
                 attn = flash_decode_attention(
-                    q, kv_cache.k, kv_cache.v,
+                    q, kc_arr, vc_arr,
                     ck_op.astype(q.dtype), cv_op.astype(q.dtype),
                     cache_len_b, tr_att, layer, q_offset=q_off,
+                    **scale_kw,
                 )
             else:
-                k_lay = jax.lax.dynamic_index_in_dim(
-                    kv_cache.k, layer, 0, keepdims=False
-                )
-                v_lay = jax.lax.dynamic_index_in_dim(
-                    kv_cache.v, layer, 0, keepdims=False
-                )
+                def _layer_slice(leaf):
+                    sl = jax.lax.dynamic_index_in_dim(
+                        kv_arr(leaf), layer, 0, keepdims=False
+                    )
+                    if isinstance(leaf, dict):  # jnp fallback: dequant
+                        qs = jax.lax.dynamic_index_in_dim(
+                            leaf["qs"], layer, 0, keepdims=False
+                        )
+                        sl = (
+                            sl.astype(jnp.float32) * qs[..., None]
+                        ).astype(q.dtype)
+                    return sl
+
                 attn = _attend_split(
-                    q, k_lay, v_lay, ck_op, cv_op, cache_len_b, tr_att,
+                    q, _layer_slice(kv_cache.k), _layer_slice(kv_cache.v),
+                    ck_op, cv_op, cache_len_b, tr_att,
                     q_offset=q_off,
                 )
             new_kv = (k_hm, v_hm)
@@ -437,9 +533,15 @@ def qwen2_forward(
     if lora is not None:
         xs["lora"] = lora
     if kv_cache is not None:
-        xs["layer"] = jnp.arange(kv_cache.k.shape[0], dtype=jnp.int32)
+        xs["layer"] = jnp.arange(kv_arr(kv_cache.k).shape[0], dtype=jnp.int32)
 
     hidden, chunk_kv = jax.lax.scan(layer_body, embeds, xs, unroll=scan_unroll)
+    if flash_mono_ok is not None:
+        # auto-enabled flash whose position-monotonicity precondition
+        # failed on-device: poison the output (loud NaNs in the loss /
+        # parity tests) instead of silently computing index-causal
+        # attention the caller didn't ask for
+        hidden = jnp.where(flash_mono_ok, hidden, jnp.nan)
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
 
     if kv_cache is not None and scratch is not None:
@@ -472,7 +574,24 @@ def commit_lanes(cache: KVCache, new_k: jax.Array, new_v: jax.Array,
     protocol scale — the residual OOM after scratch decode); the chained
     form aliases in place, each write O(chunk bytes). Shared by
     `qwen2_forward`'s chunk commit and `mmduet.decode_loop`'s post-loop
-    scratch commit."""
+    scratch commit.
+
+    int8 cache: the bf16 rows are quantized here (per-token symmetric,
+    `quantize_kv_rows`) and both the int8 values and the f32 scales are
+    committed with the same chained in-place writes."""
+    if kv_quantized(cache):
+        qk, sk = quantize_kv_rows(new_k)
+        qv, sv = quantize_kv_rows(new_v)
+        kw, ks = cache.k["qw"], cache.k["qs"]
+        vw, vs = cache.v["qw"], cache.v["qs"]
+        for b in range(new_k.shape[1]):
+            at5 = (0, b, 0, starts[b], 0)
+            at4 = (0, b, 0, starts[b])
+            kw = jax.lax.dynamic_update_slice(kw, qk[:, b : b + 1], at5)
+            ks = jax.lax.dynamic_update_slice(ks, sk[:, b : b + 1], at4)
+            vw = jax.lax.dynamic_update_slice(vw, qv[:, b : b + 1], at5)
+            vs = jax.lax.dynamic_update_slice(vs, sv[:, b : b + 1], at4)
+        return KVCache(k={"qw": kw, "qs": ks}, v={"qw": vw, "qs": vs})
     k_out, v_out = cache.k, cache.v
     for b in range(new_k.shape[1]):
         k_out = jax.lax.dynamic_update_slice(

@@ -77,10 +77,17 @@ def attention_available(S: int, head_dim: int, block_s: int = 2048) -> bool:
     return pick_block_s(S, block_s) > 0 and head_dim % 128 == 0
 
 
-def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
-            m_ref, l_ref, acc_ref,
-            *, block_s: int, block_rows: int, q_len: int,
-            scale: float):
+def _kernel(valid_ref, q_ref, k_ref, v_ref, *rest,
+            block_s: int, block_rows: int, q_len: int,
+            scale: float, quantized: bool = False):
+    if quantized:
+        # int8 KV cache: per-token dequant scales ride as two extra
+        # (L, B, kh, S) operands blocked in lockstep with the cache.
+        (ks_ref, vs_ref, ck_ref, cv_ref, o_ref,
+         m_ref, l_ref, acc_ref) = rest
+    else:
+        ks_ref = vs_ref = None
+        ck_ref, cv_ref, o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     qb = pl.program_id(2)
     j = pl.program_id(3)
@@ -89,16 +96,29 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
     t_real = valid_ref[b, 1]
     q_off = valid_ref[b, 3]
 
-    def _accumulate(s, v):
-        """Online-softmax accumulation of one scored block."""
+    def _accumulate(s, v, vscale=None):
+        """Online-softmax accumulation of one scored block.
+
+        ``vscale`` ((1, block_s) f32, int8 cache only): V's per-token
+        dequant scale folded into ``p`` as a rank-1 column scaling —
+        ``p @ (v_int * vs[:, None]) == (p * vs[None, :]) @ v_int`` — so
+        no (block_s, hd) elementwise dequant ever materializes. The
+        softmax denominator uses the UNSCALED p."""
         m_prev = m_ref[:, 0:1]  # (block_rows, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vscale is not None:
+            # compute dtype follows the queries (bf16 on TPU serving,
+            # f32 in CPU interpret tests); int8 values are exact in both
+            p_op = (p * vscale).astype(q_ref.dtype)
+            v_op = v.astype(q_ref.dtype)
+        else:
+            p_op, v_op = p.astype(v.dtype), v
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_op, v_op, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -106,9 +126,21 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
 
     def _scores(k):
         q = q_ref[0, 0]  # (block_rows, hd)
+        if k.dtype != q.dtype:  # int8 cache block (values exact in bf16)
+            k = k.astype(q.dtype)
         return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+
+    def _cache_operands():
+        """This grid step's cache K/V block (+ dequant column scales)."""
+        k, v = k_ref[0, 0, 0], v_ref[0, 0, 0]
+        if not quantized:
+            return k, v, None, None
+        # (1, 1, 1, block_s) scale blocks -> (1, block_s) f32 columns
+        ks = ks_ref[0, 0].astype(jnp.float32)
+        vs = vs_ref[0, 0].astype(jnp.float32)
+        return k, v, ks, vs
 
     @pl.when(j == 0)
     def _chunk_first():
@@ -152,16 +184,23 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
 
     @pl.when(interior)
     def _cache_interior():
-        _accumulate(_scores(k_ref[0, 0, 0]), v_ref[0, 0, 0])
+        k, v, ks, vs = _cache_operands()
+        s = _scores(k)
+        if quantized:
+            s = s * ks  # K's per-token dequant scale: a column scaling
+        _accumulate(s, v, vs)
 
     @pl.when((j > 0) & (~interior) & (cj * block_s < cache_len))
     def _cache_boundary():
-        s = _scores(k_ref[0, 0, 0])
+        k, v, ks, vs = _cache_operands()
+        s = _scores(k)
+        if quantized:
+            s = s * ks
         col = (
             jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_s), 1)
             + cj * block_s
         )
-        _accumulate(jnp.where(col < cache_len, s, NEG_INF), v_ref[0, 0, 0])
+        _accumulate(jnp.where(col < cache_len, s, NEG_INF), v, vs)
 
     @pl.when(j == nj - 1)
     def _finish():
@@ -181,6 +220,9 @@ def flash_decode_attention(
     q_offset: Optional[jax.Array] = None,  # (B,) int32: chunk position of
     # query row 0 (scratch decode: generated-token K/V occupy chunk slots
     # 0..q_offset-1 and the queries sit after them); None = 0
+    k_scale: Optional[jax.Array] = None,  # (L, B, kh, S) f32 per-token
+    # dequant scales when k_cache is int8 (int8 KV cache); None = bf16
+    v_scale: Optional[jax.Array] = None,
     block_s: int = 2048,  # 512-blocks quadruple the grid-step count and
     # per-step DMA overhead then dominates long-cache attention (measured
     # ~1 ms per 1k live slots vs the ~0.05 ms bandwidth floor)
@@ -252,51 +294,52 @@ def flash_decode_attention(
     )  # (B, 4)
 
     njc = S // block_s  # cache blocks; grid step 0 handles the chunk
+
+    def _cache_block_idx(b, j, s):
+        # step 0 is the chunk step; its (unused) cache load clamps to
+        # block 0. Blocks at/after the lane's cursor clamp to the lane's
+        # LAST live block: the kernel never reads them (the pl.when
+        # predicates are grid-derived), and a repeated block index
+        # between consecutive grid steps elides the DMA — so HBM traffic
+        # tracks each lane's live cache length, not the buffer capacity
+        # S (a 20k-slot buffer at 2k live slots would otherwise stream
+        # ~10x dead K/V per decode step).
+        return jnp.minimum(
+            jnp.maximum(j - 1, 0),
+            jnp.maximum((s[b, 0] + block_s - 1) // block_s - 1, 0),
+        )
+
+    cache_spec = pl.BlockSpec(
+        (1, 1, 1, block_s, hd),
+        lambda b, h, qb, j, s: (s[0, 2], b, h, _cache_block_idx(b, j, s), 0),
+    )
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_rows, hd), lambda b, h, qb, j, s: (b, h, qb, 0)
+        ),
+        cache_spec,
+        cache_spec,
+    ]
+    operands = [qr, k_cache, v_cache]
+    if quantized:
+        # the scale blocks ride the SAME clamped index map, so dead-
+        # block DMA elision covers them too
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, block_s),
+            lambda b, h, qb, j, s: (s[0, 2], b, h, _cache_block_idx(b, j, s)),
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scale, v_scale]
+    in_specs += [
+        pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
+    ]
+    operands += [chunk_k, chunk_v]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, kh, n_qb, njc + 1),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_rows, hd), lambda b, h, qb, j, s: (b, h, qb, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, block_s, hd),
-                # step 0 is the chunk step; its (unused) cache load
-                # clamps to block 0. Blocks at/after the lane's cursor
-                # clamp to the lane's LAST live block: the kernel never
-                # reads them (the pl.when predicates are grid-derived),
-                # and a repeated block index between consecutive grid
-                # steps elides the DMA — so HBM traffic tracks each
-                # lane's live cache length, not the buffer capacity S
-                # (a 20k-slot buffer at 2k live slots would otherwise
-                # stream ~10x dead K/V per decode step).
-                lambda b, h, qb, j, s: (
-                    s[0, 2], b, h,
-                    jnp.minimum(
-                        jnp.maximum(j - 1, 0),
-                        jnp.maximum(
-                            (s[b, 0] + block_s - 1) // block_s - 1, 0
-                        ),
-                    ),
-                    0,
-                ),
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, block_s, hd),
-                lambda b, h, qb, j, s: (
-                    s[0, 2], b, h,
-                    jnp.minimum(
-                        jnp.maximum(j - 1, 0),
-                        jnp.maximum(
-                            (s[b, 0] + block_s - 1) // block_s - 1, 0
-                        ),
-                    ),
-                    0,
-                ),
-            ),
-            pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tc_pad, hd), lambda b, h, qb, j, s: (b, h, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_rows, hd), lambda b, h, qb, j, s: (b, h, qb, 0)
         ),
@@ -317,12 +360,12 @@ def flash_decode_attention(
         )
     out = pl.pallas_call(
         partial(_kernel, block_s=block_s, block_rows=block_rows,
-                q_len=T, scale=scale),
+                q_len=T, scale=scale, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, rows_padded, hd), q.dtype),
         interpret=interpret,
         **kwargs,
-    )(valid, qr, k_cache, v_cache, chunk_k, chunk_v)
+    )(valid, *operands)
 
     # (B, kh, group*T, hd) -> (B, T, nh, hd), dropping padded query rows
     out = out[:, :, :rows]
@@ -378,6 +421,8 @@ def flash_decode_attention_sharded(
     layer: jax.Array,  # scalar
     ctx: ShardCtx,
     q_offset: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,  # int8 KV cache dequant scales
+    v_scale: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """`flash_decode_attention` over a (data, model) mesh: each device
@@ -394,24 +439,32 @@ def flash_decode_attention_sharded(
     cspec = P(None, la, ha)  # (L, B, kh, S, hd)
     kspec = P(la, ha)  # (B, kh, Tc, hd)
     vec = P(la)  # (B,) per-lane scalars
+    quantized = k_scale is not None
 
-    def local(q, kc, vc, ck, cv, cl, tr, lay, qo):
+    def local(q, kc, vc, ck, cv, cl, tr, lay, qo, *scales):
+        ks, vs = scales if quantized else (None, None)
         return flash_decode_attention(
             q, kc, vc, ck, cv, cl, tr, lay, q_offset=qo,
-            interpret=interpret,
+            k_scale=ks, v_scale=vs, interpret=interpret,
         )
 
-    return shard_map(
-        local,
-        mesh=ctx.mesh,
-        in_specs=(qspec, cspec, cspec, kspec, kspec, vec, vec, P(), vec),
-        out_specs=qspec,
-        check_rep=False,
-    )(
+    in_specs = [qspec, cspec, cspec, kspec, kspec, vec, vec, P(), vec]
+    operands = [
         q, k_cache, v_cache, chunk_k, chunk_v,
         jnp.asarray(cache_len, jnp.int32), jnp.asarray(t_real, jnp.int32),
         jnp.asarray(layer, jnp.int32), jnp.asarray(q_offset, jnp.int32),
-    )
+    ]
+    if quantized:
+        # (L, B, kh, S) scales shard like the cache's leading dims
+        in_specs += [cspec, cspec]
+        operands += [k_scale, v_scale]
+    return shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=tuple(in_specs),
+        out_specs=qspec,
+        check_rep=False,
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
