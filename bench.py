@@ -126,7 +126,11 @@ def build_decoder_int8(num_layers: int):
 def build_decoder_int4(num_layers: int, group: int = 128):
     """Random group-wise-int4 decoder at the 7B shape, constructed on
     device (see `models/quant.py::quantize_weight_int4` for the layout:
-    qw (.., G, g, out) int4, qs (.., G, 1, out) bf16)."""
+    qw4 NIBBLE-PACKED int8 (.., G, g/2, out), qs (.., G, 1, out) bf16 —
+    native s4 jit arguments infinitely recurse in `_array_shard_arg` on
+    this backend, measured BENCH r5 run 1). Random packed bytes decode
+    to two random nibbles each, so the weight STATISTICS match a real
+    int4 checkpoint's."""
     import jax
     import jax.numpy as jnp
 
@@ -139,10 +143,12 @@ def build_decoder_int4(num_layers: int, group: int = 128):
 
     def qd4(key, shape, reduce_axis, scale=0.02):
         G = shape[reduce_axis] // group
-        qshape = shape[:reduce_axis] + (G, group) + shape[reduce_axis + 1:]
+        qshape = (
+            shape[:reduce_axis] + (G, group // 2) + shape[reduce_axis + 1:]
+        )
         sshape = shape[:reduce_axis] + (G, 1) + shape[reduce_axis + 1:]
         return {
-            "qw": jax.random.randint(key, qshape, -7, 8, jnp.int8).astype(jnp.int4),
+            "qw4": jax.random.randint(key, qshape, -128, 128, jnp.int8),
             "qs": jnp.full(sshape, scale / 7.0, jnp.bfloat16),
         }
 
@@ -1134,9 +1140,18 @@ def main():
     try:
         extra["vision_frames_s"] = round(run_vision(), 1)
         extra["vision_frames_s_int8"] = round(run_vision(quant=True), 1)
-        # flash-vs-jnp attention A/B on the tower (auto picks flash on TPU)
-        extra["vision_frames_s_noflash"] = round(
-            run_vision(use_flash=False), 1
+        # flash-vs-jnp A/B on the tower. Auto now picks JNP: run 1
+        # measured flash at 70.1 vs jnp 120.5 f/s at the serving shape,
+        # so the default flipped (siglip._attend); this field keeps the
+        # losing side on record each round in case the balance moves.
+        extra["vision_frames_s_flash"] = round(
+            run_vision(use_flash=True), 1
+        )
+        # batch-64 int8 tower: the next lever on the vision floor
+        # (VERDICT r4 weak #7) if int8+jnp alone doesn't reach the
+        # ~183 f/s block-scoring rate
+        extra["vision_frames_s_int8_b64"] = round(
+            run_vision(batch=64, quant=True), 1
         )
     except Exception as e:
         print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -610,9 +610,14 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
     visual features."""
     ids = jnp.clip(input_ids, 0, vocab_size - 1)
     emb = params["embed"]
-    if isinstance(emb, dict) and emb["qw"].ndim == 3:
-        # int4 per row-group: qw (V, G, g), qs (V, G, 1)
-        rows = jnp.take(emb["qw"], ids, axis=0).astype(jnp.float32)
+    if isinstance(emb, dict) and "qw4" in emb:
+        # int4 per row-group: qw4 packed (V, G, g/2), qs (V, G, 1).
+        # Gather the PACKED rows (half the gather bandwidth), then
+        # unpack the nibbles of just the gathered rows.
+        from .quant import unpack_int4
+
+        packed = jnp.take(emb["qw4"], ids, axis=0)  # (..., G, g/2)
+        rows = unpack_int4(packed, -1).astype(jnp.float32)
         scales = jnp.take(emb["qs"], ids, axis=0).astype(jnp.float32)
         out = rows * scales  # (..., G, g)
         return out.reshape(*out.shape[:-2], -1).astype(emb["qs"].dtype)

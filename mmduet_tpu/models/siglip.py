@@ -104,16 +104,16 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
 
 def _attend(q, k, v, hd: int, use_flash) -> jax.Array:
     """(N, T, nh, hd) non-causal MHA. ``use_flash=None`` auto-picks the
-    fused Pallas kernel on TPU (`ops.attention.flash_vision_attention`) —
-    the jnp path's (N, nh, T, T) f32 score tensor is ~1 GB of HBM
-    traffic per layer at the serving batch — and the jnp path elsewhere
-    (it is also the HF-parity numerics reference)."""
+    JNP path everywhere: measured on a real v5e at the serving shape
+    (batch 32, 729 patches, SigLIP-so400m), the stock Pallas vision
+    kernel LOSES to XLA's fused softmax — 70.1 vs 120.5 frames/s
+    (BENCH r5 run 1 `vision_frames_s` vs `vision_frames_s_noflash`) —
+    because XLA keeps the (T, T) scores in VMEM across the fusion at
+    T=729 while the kernel pays per-tile launch/repack overhead.
+    ``use_flash=True`` stays available for longer-sequence towers where
+    the score tensor genuinely spills."""
     if use_flash is None:
-        from ..ops.attention import vision_flash_available
-
-        use_flash = (
-            jax.default_backend() == "tpu" and vision_flash_available()
-        )
+        use_flash = False
     if use_flash:
         from ..ops.attention import flash_vision_attention
 

@@ -42,15 +42,15 @@ def _spec_for(path: str, shape, data_n: int, model_n: int, mode: str) -> P:
     dims: list = [None] * len(shape)
     parts = path.split("/")
     name = parts[-1]
-    if name in ("qw", "qs") and len(parts) >= 2:
-        # Quantized weights are {"qw","qs"} dicts one level below the
-        # named weight — TP rules must match on the weight's name, or
-        # every quantized checkpoint silently replicates under
+    if name in ("qw", "qw4", "qs") and len(parts) >= 2:
+        # Quantized weights are {"qw"/"qw4","qs"} dicts one level below
+        # the named weight — TP rules must match on the weight's name,
+        # or every quantized checkpoint silently replicates under
         # --mesh_model. The dim arithmetic below already fits every
         # quantized layout: int8 qs keeps size-1 on the reduced dim
         # (try_axis skips it → per-out-channel scales replicate, which
-        # commutes with the psum), and int4's grouped (G, g) splice
-        # keeps `out` last / puts g at -2, both shardable as-is.
+        # commutes with the psum), and int4's grouped (G, g/2 packed)
+        # splice keeps `out` last / puts g at -2, both shardable as-is.
         name = parts[-2]
     in_layers = "layers" in path
 

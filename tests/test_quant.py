@@ -151,13 +151,29 @@ class TestInt4:
 
     Q4 = quantize_params(PARAMS, bits=4)
 
+    def test_pack_unpack_roundtrip_exact(self):
+        """Nibble pack → unpack is the identity on int8 values in
+        [-8, 7], every axis position."""
+        from mmduet_tpu.models.quant import pack_int4, unpack_int4
+
+        r = np.random.RandomState(9)
+        for shape, axis in (((6, 4), 0), ((6, 4), 1), ((2, 8, 5), 1)):
+            q = r.randint(-8, 8, shape).astype(np.int8)
+            p = pack_int4(q, axis)
+            assert p.dtype == np.int8
+            assert p.shape[axis] == shape[axis] // 2
+            back = np.asarray(unpack_int4(jnp.asarray(p), axis))
+            np.testing.assert_array_equal(back, q)
+
     def test_roundtrip_error_bounded(self):
         from mmduet_tpu.models.quant import quantize_weight_int4
 
         w = np.random.RandomState(0).randn(256, 32).astype(np.float32)
         qd = quantize_weight_int4(w, reduce_axis=0, group=128)
-        assert qd["qw"].dtype == jnp.int4
-        assert qd["qw"].shape == (2, 128, 32)
+        # nibble-packed int8 storage (s4 jit args recurse on the axon
+        # backend — quantize_weight_int4 docstring): group axis halves
+        assert qd["qw4"].dtype == jnp.int8
+        assert qd["qw4"].shape == (2, 64, 32)
         back = np.asarray(dequantize_weight(qd, jnp.float32))
         assert back.shape == w.shape
         scale = np.asarray(qd["qs"], np.float32)  # (2, 1, 32)
@@ -165,31 +181,27 @@ class TestInt4:
             + np.abs(w) * 2.0**-8 + 1e-6
         assert (np.abs(back - w) <= bound).all()
 
-    def test_dequant_degenerate_group_of_one(self):
-        """An odd reduction dim makes gcd(dim, 128) == 1, so qw and qs
-        end up the SAME shape (group axis size 1 on both) — dequantize
-        must still find the group axis and roundtrip, not crash."""
+    def test_odd_group_rejected(self):
+        """An odd reduction dim cannot nibble-pack (gcd(15, 128) == 1);
+        the quantizer must fail loudly, not corrupt silently."""
         from mmduet_tpu.models.quant import quantize_weight_int4
 
         w = np.random.RandomState(3).randn(15, 8).astype(np.float32)
-        qd = quantize_weight_int4(w, reduce_axis=0, group=128)
-        assert qd["qw"].shape == qd["qs"].shape == (15, 1, 8)
-        back = np.asarray(dequantize_weight(qd, jnp.float32))
-        assert back.shape == w.shape
-        # group size 1: each element is its own scale => exact up to ±7 grid
-        np.testing.assert_allclose(back, w, rtol=2e-2, atol=1e-6)
+        with pytest.raises(ValueError, match="even group"):
+            quantize_weight_int4(w, reduce_axis=0, group=128)
 
     def test_grouped_contraction_matches_dequant(self):
         """einsum-per-group + scaled partial sums == y @ dequant(w)."""
-        from mmduet_tpu.models.quant import quantize_weight_int4
+        from mmduet_tpu.models.quant import quantize_weight_int4, unpack_int4
 
         w = np.random.RandomState(1).randn(256, 8).astype(np.float32)
         qd = quantize_weight_int4(w, reduce_axis=0, group=64)
         y = np.random.RandomState(2).randn(4, 256).astype(np.float32)
         a = y @ np.asarray(dequantize_weight(qd, jnp.float32))
-        G, g, O = qd["qw"].shape
+        qw = np.asarray(unpack_int4(qd["qw4"], 1))
+        G, g, O = qw.shape
         part = np.einsum(
-            "bgi,gio->bgo", y.reshape(4, G, g), np.asarray(qd["qw"], np.float32)
+            "bgi,gio->bgo", y.reshape(4, G, g), qw.astype(np.float32)
         )
         b = (part * np.asarray(qd["qs"], np.float32).reshape(1, G, O)).sum(1)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
@@ -270,8 +282,8 @@ class TestInt4:
 
         save_checkpoint(str(tmp_path / "q4"), CFG, self.Q4)
         _, params2, _ = load_checkpoint(str(tmp_path / "q4"))
-        qw = params2["decoder"]["layers"]["q_proj"]["qw"]
-        assert qw.dtype == jnp.int4 and qw.ndim == 4
+        qw = params2["decoder"]["layers"]["q_proj"]["qw4"]
+        assert qw.dtype == jnp.int8 and qw.ndim == 4
         a = np.asarray(
             dequantize_weight(self.Q4["decoder"]["layers"]["q_proj"], jnp.float32)
         )

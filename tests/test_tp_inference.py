@@ -91,16 +91,17 @@ class TestTPQuantizedServing:
 
         mesh = make_mesh((4, 2))
         for bits in (8, 4):
+            wkey = "qw4" if bits == 4 else "qw"
             q = quantize_params(PARAMS, bits=bits)
             sh = param_shardings(q, mesh, mode="replicate")
             qproj = sh["decoder"]["layers"]["q_proj"]
             # out dim is last in every quantized layout
-            assert qproj["qw"].spec[-1] == "model", (bits, qproj["qw"].spec)
+            assert qproj[wkey].spec[-1] == "model", (bits, qproj[wkey].spec)
             assert qproj["qs"].spec[-1] == "model", (bits, qproj["qs"].spec)
             lm = sh["lm_head"]
-            assert lm["qw"].spec[-1] == "model", (bits, lm["qw"].spec)
+            assert lm[wkey].spec[-1] == "model", (bits, lm[wkey].spec)
             emb = sh["decoder"]["embed"]
-            assert emb["qw"].spec[0] == "model", (bits, emb["qw"].spec)
+            assert emb[wkey].spec[0] == "model", (bits, emb[wkey].spec)
             # o_proj shards the reduction dim on qw; int8's per-out-channel
             # scale keeps size 1 there and must stay replicated
             o = sh["decoder"]["layers"]["o_proj"]
@@ -125,7 +126,8 @@ class TestTPQuantizedServing:
             CharTokenizer(frame_num_tokens=CFG.frame_num_tokens),
             _args(), block_frames=4, mesh=mesh,
         )
-        qw = tp.params["decoder"]["layers"]["q_proj"]["qw"]
+        key = "qw4" if bits == 4 else "qw"
+        qw = tp.params["decoder"]["layers"]["q_proj"][key]
         assert "model" in str(qw.sharding.spec), qw.sharding.spec
         tp_out, tp_scores = _run(tp)
         np.testing.assert_allclose(ref_scores, tp_scores, atol=2e-4)

@@ -208,7 +208,7 @@ def test_convert_quantize_int4(hf_dir, tmp_path):
     convert_main(["--hf_dir", hf_dir, "--output", ckpt,
                   "--quantize", "int4"])
     cfg, params, _ = load_checkpoint(ckpt)
-    qw = params["decoder"]["layers"]["q_proj"]["qw"]
-    assert qw.dtype == jnp.int4 and qw.ndim == 4  # (L, G, g, out)
-    assert params["lm_head"]["qw"].ndim == 3  # (G, g, V)
-    assert params["decoder"]["embed"]["qw"].ndim == 3  # (V, G, g)
+    qw = params["decoder"]["layers"]["q_proj"]["qw4"]
+    assert qw.dtype == jnp.int8 and qw.ndim == 4  # (L, G, g/2, out) packed
+    assert params["lm_head"]["qw4"].ndim == 3  # (G, g/2, V)
+    assert params["decoder"]["embed"]["qw4"].ndim == 3  # (V, G, g/2)
