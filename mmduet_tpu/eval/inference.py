@@ -82,9 +82,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(one weight sweep per step serves every stream; "
                         "identical per-sample outputs; per-stream "
                         "clocks, so mixed-fps samples batch together). "
-                        "Requires a merged checkpoint (no runtime "
-                        "LoRA); composes with --mesh_model N (TP x "
-                        "batched serving)")
+                        "Runtime-LoRA checkpoints serve batched too "
+                        "(one adapter across all lanes); composes with "
+                        "--mesh_model N (TP x batched serving)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help=">1 = tensor-parallel serving over this many "
                         "chips (Megatron-layout sharding; keeps the full "
@@ -180,8 +180,12 @@ def build_engine(args):
     cfg, params, lora, tokenizer = _load_model(args)
     test_args = _test_args(args, cfg)
     params, mesh = _maybe_shard_tp(params, args.mesh_model)
-    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora, mesh=mesh,
-                             kv_cache_quant=args.kv_cache_quant)
+    engine = LiveInferEngine(params, cfg, tokenizer, test_args, lora=lora,
+                             # converted adapters are scale-folded
+                             # (convert.py: b *= alpha/r), so runtime
+                             # application is exactly 1.0x
+                             lora_scale=1.0 if lora is not None else 0.0,
+                             mesh=mesh, kv_cache_quant=args.kv_cache_quant)
     return engine
 
 
@@ -303,11 +307,6 @@ def _run_batched(args) -> None:
     from ..infer import BatchedStreamEngine
 
     cfg, params, lora, tokenizer = _load_model(args)
-    if lora is not None:
-        raise SystemExit(
-            "--batch_streams needs a merged checkpoint (runtime LoRA is "
-            "single-stream only); re-convert with --merge"
-        )
     if args.mesh_data > 1 and args.batch_streams % args.mesh_data != 0:
         raise SystemExit(
             f"--mesh_data {args.mesh_data} must divide --batch_streams "
@@ -320,6 +319,7 @@ def _run_batched(args) -> None:
         params, cfg, tokenizer, test_args, n_streams=B, mesh=mesh,
         gen_coalesce_rounds=args.gen_coalesce_rounds,
         kv_cache_quant=args.kv_cache_quant,
+        lora=lora, lora_scale=1.0 if lora is not None else 0.0,
         # same block policy as the single engine: grounding never
         # generates, so a trigger never rolls frames back and a big
         # fused block is a pure win
@@ -410,7 +410,8 @@ def _run_offline_baseline(args) -> None:
     )
     params, mesh = _maybe_shard_tp(params, args.mesh_model)
     runner = OfflineBaselineRunner(
-        params, cfg, tokenizer, test_args, lora=lora, mesh=mesh
+        params, cfg, tokenizer, test_args, lora=lora,
+        lora_scale=1.0 if lora is not None else 0.0, mesh=mesh
     )
     dataset = _make_dataset(args, cfg.frame_resolution)
 

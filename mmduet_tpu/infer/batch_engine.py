@@ -69,6 +69,9 @@ class BatchedStreamScorer:
         kv_cache_quant: Optional[str] = None,  # "int8": per-token int8
         # KV caches (see `qwen2.init_kv_cache`) — halves the dominant
         # HBM consumer at batched protocol scale, doubling lanes-per-chip
+        lora=None,  # runtime LoRA pytree: ONE adapter applied to all
+        # lanes (single-adapter serving, the reference deployment mode)
+        lora_scale: float = 0.0,
     ):
         """``mesh``: a (data, model) `jax.sharding.Mesh` for parallel
         BATCHED serving — shard ``params`` with
@@ -142,6 +145,8 @@ class BatchedStreamScorer:
         self.block_frames = block_frames
         self.dtype = dtype or params["decoder"]["final_norm"].dtype
         self.kv_cache_quant = kv_cache_quant
+        self.lora = lora
+        self.lora_scale = lora_scale
         from ..config import DEFAULT_SYSTEM_PROMPT
 
         self.system_prompt = system_prompt or DEFAULT_SYSTEM_PROMPT
@@ -173,33 +178,37 @@ class BatchedStreamScorer:
                 jax.lax.with_sharding_constraint(cache.v, kv_sh),
             )
 
-        def _prefix_fn(params, embeds, k, v, cache_len, t_real):
+        lora_scale = self.lora_scale
+
+        def _prefix_fn(params, lora, embeds, k, v, cache_len, t_real):
             """Feed every stream's (padded) prefix chunk."""
             out = mmduet.step_forward(
                 params, cfg, embeds, KVCache(k, v), cache_len, t_real,
+                lora=lora, lora_scale=lora_scale,
                 compute_lm_logits=False, use_flash=use_flash,
                 shard_ctx=shard_ctx,
             )
             out_kv = _pin_kv(out.kv_cache)
             return out_kv.k, out_kv.v
 
-        self._prefix_b = jax.jit(_prefix_fn, donate_argnums=(2, 3))
+        self._prefix_b = jax.jit(_prefix_fn, donate_argnums=(3, 4))
         self._pin_kv = _pin_kv  # for the engine subclass's serving fns
 
-        def _block_fn(params, frames, k, v, cache_len):
+        def _block_fn(params, lora, frames, k, v, cache_len):
             """Score a lockstep (B, K, ft, H) frame block: probs (B,2,K)."""
             Bn, K, ft, H = frames.shape
             pos = (jnp.arange(K) + 1) * ft - 1
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg, frames.reshape(Bn, K * ft, H), KVCache(k, v),
-                cache_len, jnp.int32(K * ft), pos, use_flash=use_flash,
+                cache_len, jnp.int32(K * ft), pos,
+                lora=lora, lora_scale=lora_scale, use_flash=use_flash,
                 shard_ctx=shard_ctx,
             )
             cache = _pin_kv(cache)
             # (B, 2, K): ONE host transfer per block for all scores
             return probs, cache.k, cache.v
 
-        self._block_b = jax.jit(_block_fn, donate_argnums=(2, 3))
+        self._block_b = jax.jit(_block_fn, donate_argnums=(3, 4))
 
         # mesh: GSPMD cannot partition a pallas_call — jnp vision
         # attention there (same rule as LiveInferEngine._visual)
@@ -309,7 +318,7 @@ class BatchedStreamScorer:
                 f"> capacity {self._cache_size}. Raise kv_cache_size."
             )
         self._k, self._v = self._prefix_b(
-            self.params, embeds, self._k, self._v,
+            self.params, self.lora, embeds, self._k, self._v,
             jnp.asarray(self._cursor, jnp.int32), t_real,
         )
         self._cursor += np.array([len(ids) for ids in per_stream])
@@ -394,7 +403,7 @@ class BatchedStreamScorer:
                 )
             frames = self._frame_embeds[:, self._next : self._next + n]
             dev, self._k, self._v = self._block_b(
-                self.params, frames, self._k, self._v,
+                self.params, self.lora, frames, self._k, self._v,
                 jnp.asarray(self._cursor, jnp.int32),
             )
             self._cursor += n * ft
@@ -446,6 +455,8 @@ class BatchedStreamEngine(BatchedStreamScorer):
         mesh=None,
         gen_coalesce_rounds: int = 0,
         kv_cache_quant: Optional[str] = None,
+        lora=None,
+        lora_scale: float = 0.0,
     ):
         super().__init__(
             params, cfg, tokenizer,
@@ -458,6 +469,8 @@ class BatchedStreamEngine(BatchedStreamScorer):
             dtype=dtype,
             mesh=mesh,
             kv_cache_quant=kv_cache_quant,
+            lora=lora,
+            lora_scale=lora_scale,
         )
         validate_threshold_args(args)
         self.args = args
@@ -498,7 +511,9 @@ class BatchedStreamEngine(BatchedStreamScorer):
             | {block_frames * ft_, block_frames * ft_ + 64}
         ))
 
-        def _sched_fn(params, embeds, k, v, cache_len, t_real, score_pos):
+        lora_scale_ = self.lora_scale
+
+        def _sched_fn(params, lora, embeds, k, v, cache_len, t_real, score_pos):
             """Per-lane (padded) [ids + n<=K frames] chunks -> (B, 2, K)
             score probs at each lane's frame-boundary positions, in ONE
             natively-batched dispatch (per-lane cursors; unfed lanes'
@@ -509,14 +524,15 @@ class BatchedStreamEngine(BatchedStreamScorer):
             the GSPMD-friendly jnp path elsewhere."""
             probs, cache = mmduet.chunk_scores_forward(
                 params, cfg_, embeds, KVCache(k, v), cache_len, t_real,
-                score_pos, use_flash=use_flash, shard_ctx=shard_ctx,
+                score_pos, lora=lora, lora_scale=lora_scale_,
+                use_flash=use_flash, shard_ctx=shard_ctx,
             )
             cache = pin_kv(cache)
             return probs, cache.k, cache.v
 
-        self._sched_b = jax.jit(_sched_fn, donate_argnums=(2, 3))
+        self._sched_b = jax.jit(_sched_fn, donate_argnums=(3, 4))
 
-        def _gen_batched(params, embeds, k, v, cache_len, pen_mask, active):
+        def _gen_batched(params, lora, embeds, k, v, cache_len, pen_mask, active):
             """Batched greedy decode (engine `_generate` per lane).
 
             ``embeds`` (B, t, H) is the shared generation-prompt chunk;
@@ -531,6 +547,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 params, cfg_, embeds, KVCache(k, v), cache_len,
                 jnp.int32(embeds.shape[1]), pen_mask, active,
                 max_new=max_new, eos_id=eos_id, rep=rep,
+                lora=lora, lora_scale=lora_scale_,
                 use_flash=use_flash, shard_ctx=shard_ctx,
             )
             cache = pin_kv(cache)
@@ -540,7 +557,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             # (B, max_new+2) array: a single host fetch per generation
             return packed, cache.k, cache.v, pen_out
 
-        self._gen_b = jax.jit(_gen_batched, donate_argnums=(2, 3))
+        self._gen_b = jax.jit(_gen_batched, donate_argnums=(3, 4))
         # per-lane frame-buffer row writer (admission + group feeding):
         # donated in-place O(row) write, the KV cache's own pattern
         self._buf_upd = jax.jit(
@@ -872,7 +889,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
         self._guard_frozen_writes(bucket, chunks)
         embeds = self._pin(jnp.stack([pad_chunk(c, bucket) for c in embeds_l]))
         probs, self._k, self._v = self._sched_b(
-            self.params, embeds, self._k, self._v,
+            self.params, self.lora, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32),
             jnp.asarray(t_real, jnp.int32),
             jnp.asarray(score_pos, jnp.int32),
@@ -902,7 +919,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
             jnp.broadcast_to(gen_embeds, (self.B, *gen_embeds.shape))
         )
         packed, self._k, self._v, self._pen_mask = self._gen_b(
-            self.params, embeds, self._k, self._v,
+            self.params, self.lora, embeds, self._k, self._v,
             jnp.asarray(self._cur, jnp.int32), self._pen_mask,
             jnp.asarray(active),
         )
@@ -946,7 +963,7 @@ class BatchedStreamEngine(BatchedStreamScorer):
                 continue
             embeds = self._pin(jnp.zeros((self.B, b, H), self.dtype))
             _, self._k, self._v = self._sched_b(
-                self.params, embeds, self._k, self._v, cur0,
+                self.params, self.lora, embeds, self._k, self._v, cur0,
                 jnp.full((self.B,), b, jnp.int32), pos0,
             )
         if generate:

@@ -431,12 +431,27 @@ def convert_hf_checkpoint(
     if lora_dir:
         from safetensors import safe_open
 
+        from .lora import fold_lora_scale
+
         path = os.path.join(lora_dir, "adapter_model.safetensors")
         asd = {}
         with safe_open(path, framework="np") as fobj:
             for k in fobj.keys():
                 asd[k] = fobj.get_tensor(k)
         raw_lora, overrides = convert_adapter(asd, cfg.text)
+        # PEFT applies alpha/r at load time (the reference serve path,
+        # `models/modeling_live.py:121-123`); fold it into b so the saved
+        # adapter is self-describing and serves at lora_scale=1.0
+        acfg_path = os.path.join(lora_dir, "adapter_config.json")
+        if not os.path.exists(acfg_path):
+            raise FileNotFoundError(
+                f"{acfg_path} missing: the adapter's lora_alpha/r are "
+                "needed to scale it (a PEFT adapter dir always has one)"
+            )
+        with open(acfg_path) as f:
+            acfg = json.load(f)
+        scale = float(acfg["lora_alpha"]) / float(acfg["r"])
+        raw_lora = fold_lora_scale(raw_lora, scale)
         lora = jax.tree.map(lambda x: jnp.asarray(x, dtype), raw_lora)
         # fully fine-tuned modules (projector / heads) replace base weights
         for name, val in overrides.items():

@@ -67,6 +67,22 @@ def lora_scale(rank: int, alpha: float) -> float:
     return alpha / rank
 
 
+def fold_lora_scale(lora: Dict, scale: float) -> Dict:
+    """Pre-multiply the ``b`` factors by ``scale`` so the stored adapter
+    is SELF-DESCRIBING: its effective delta is exactly ``a @ b`` and
+    serving applies it at ``lora_scale=1.0``.
+
+    Checkpoints saved without this needed the training-time ``alpha/r``
+    out of band — which no checkpoint recorded, so the serving CLI
+    silently ran trained adapters at scale 0 (r5 bug fix; the reference
+    always serves through PEFT, which applies ``alpha/r`` itself,
+    `/root/reference/models/modeling_live.py:121-123`)."""
+    return {
+        name: {"a": ab["a"], "b": ab["b"] * scale}
+        for name, ab in lora.items()
+    }
+
+
 def merge_lora(decoder_params: Dict, lora: Dict, scale: float) -> Dict:
     """Fold adapters into base weights: W' = W + scale * A @ B."""
     layers = dict(decoder_params["layers"])

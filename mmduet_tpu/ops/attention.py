@@ -89,6 +89,7 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref = vs_ref = None
         ck_ref, cv_ref, o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
+    h = pl.program_id(1)  # head row of the full-kh scale blocks
     qb = pl.program_id(2)
     j = pl.program_id(3)
     nj = pl.num_programs(3)
@@ -137,9 +138,15 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, *rest,
         k, v = k_ref[0, 0, 0], v_ref[0, 0, 0]
         if not quantized:
             return k, v, None, None
-        # (1, 1, 1, block_s) scale blocks -> (1, block_s) f32 columns
-        ks = ks_ref[0, 0].astype(jnp.float32)
-        vs = vs_ref[0, 0].astype(jnp.float32)
+        # scale blocks span ALL kh heads — Mosaic requires the last two
+        # block dims be (8-, 128-divisible) OR equal to the array dims,
+        # and a (1, block_s) per-head block has second-to-last dim 1
+        # (rejected on real TPU, BENCH r5 run 2). The (kh, block_s)
+        # block satisfies the equal-to-array rule; select this grid
+        # step's head row here. Extra DMA is kh*block_s f32 = tiny next
+        # to the K/V blocks themselves.
+        ks = ks_ref[0, 0, h, :][None, :].astype(jnp.float32)
+        vs = vs_ref[0, 0, h, :][None, :].astype(jnp.float32)
         return k, v, ks, vs
 
     @pl.when(j == 0)
@@ -324,10 +331,11 @@ def flash_decode_attention(
     operands = [qr, k_cache, v_cache]
     if quantized:
         # the scale blocks ride the SAME clamped index map, so dead-
-        # block DMA elision covers them too
+        # block DMA elision covers them too. Full-kh blocks (see
+        # _cache_operands: Mosaic's last-two-dims rule).
         scale_spec = pl.BlockSpec(
-            (1, 1, 1, block_s),
-            lambda b, h, qb, j, s: (s[0, 2], b, h, _cache_block_idx(b, j, s)),
+            (1, 1, kh, block_s),
+            lambda b, h, qb, j, s: (s[0, 2], b, 0, _cache_block_idx(b, j, s)),
         )
         in_specs += [scale_spec, scale_spec]
         operands += [k_scale, v_scale]

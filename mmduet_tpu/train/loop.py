@@ -425,9 +425,16 @@ def main(argv=None):
 
     final_params = merge_trainable(jax.device_get(params), jax.device_get(state.trainable))
     final_dir = os.path.join(args.output_dir, "final")
+    from ..models.lora import fold_lora_scale, lora_scale as _ls
+
+    # fold alpha/r into b: the saved adapter serves at lora_scale=1.0
+    # (nothing else records the training-time scale — see fold_lora_scale)
     save_checkpoint(
         final_dir, cfg, final_params,
-        lora=jax.device_get(state.trainable["lora"]),
+        lora=fold_lora_scale(
+            jax.device_get(state.trainable["lora"]),
+            _ls(args.lora_r, args.lora_alpha),
+        ),
     )
     if args.checkpoint:  # ship tokenizer files so eval consumes the dir directly
         import shutil

@@ -212,3 +212,56 @@ def test_convert_quantize_int4(hf_dir, tmp_path):
     assert qw.dtype == jnp.int8 and qw.ndim == 4  # (L, G, g/2, out) packed
     assert params["lm_head"]["qw4"].ndim == 3  # (G, g/2, V)
     assert params["decoder"]["embed"]["qw4"].ndim == 3  # (V, G, g/2)
+
+
+def test_convert_lora_dir_folds_peft_scale(hf_dir, tmp_path):
+    """`convert --lora_dir`: the PEFT adapter's alpha/r is read from
+    adapter_config.json and folded into the saved b factors, so the
+    serving CLI's lora_scale=1.0 contract applies the trained delta at
+    full strength (r5 fix: nothing recorded the scale before, so CLI
+    adapter serving was a silent no-op)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from mmduet_tpu.models.convert import main as convert_main
+    from mmduet_tpu.models.io import load_checkpoint
+
+    r, alpha, h = 4, 16, 64
+    rng = np.random.RandomState(3)
+    sd = {}
+    for i in range(2):  # tiny fixture: 2 layers
+        for proj, dout in (("self_attn.q_proj", 64), ("self_attn.v_proj", 32)):
+            sd[f"base_model.model.model.layers.{i}.{proj}.lora_A.weight"] = \
+                rng.randn(r, h).astype(np.float32)
+            sd[f"base_model.model.model.layers.{i}.{proj}.lora_B.weight"] = \
+                rng.randn(dout, r).astype(np.float32)
+    adir = tmp_path / "adapter"
+    adir.mkdir()
+    save_file(sd, str(adir / "adapter_model.safetensors"))
+    (adir / "adapter_config.json").write_text(
+        json.dumps({"r": r, "lora_alpha": alpha, "peft_type": "LORA"})
+    )
+
+    ckpt = str(tmp_path / "ckpt_lora")
+    convert_main(["--hf_dir", hf_dir, "--lora_dir", str(adir),
+                  "--output", ckpt, "--dtype", "float32"])
+    cfg, params, lora = load_checkpoint(ckpt)
+    assert lora is not None and set(lora) == {"q_proj", "v_proj"}
+    # b carries alpha/r = 4.0 baked in; a is raw
+    rawA = sd["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"]
+    rawB = sd["base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight"]
+    np.testing.assert_allclose(
+        np.asarray(lora["q_proj"]["a"][0]), rawA.T, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lora["q_proj"]["b"][0]), rawB.T * (alpha / r), atol=1e-5
+    )
+
+    # a missing adapter_config must fail loudly, not serve unscaled
+    (adir / "adapter_config.json").unlink()
+    with pytest.raises(FileNotFoundError, match="adapter_config"):
+        convert_main(["--hf_dir", hf_dir, "--lora_dir", str(adir),
+                      "--output", str(tmp_path / "ckpt_bad")])
