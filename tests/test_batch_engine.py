@@ -596,6 +596,32 @@ class TestSessionAdmission:
         ]))
         assert set(out2) == {0}
 
+    def test_zero_frame_session_frees_lane_immediately(self, capsys):
+        """ADVICE r4: a zero-frame admission must retire (and free its
+        lane for the next queued session) BEFORE the other lanes drain —
+        not wedge the lane for the rest of the run — and is flagged on
+        stderr so eval can tell it from a no-trigger stream."""
+        H, ft = CFG.text.hidden_size, CFG.frame_num_tokens
+        args = InferArgs(system_prompt="sys", frame_fps=2.0,
+                         stream_end_prob_threshold=1.0, max_new_tokens=4,
+                         max_num_frames=16)
+        be = BatchedStreamEngine(PARAMS, CFG, TOK, args, n_streams=2,
+                                 block_frames=4, kv_cache_size=1024)
+        emb = jnp.zeros((12, ft, H), jnp.float32)
+        sessions = [
+            {"frame_embeds": emb[:0], "conversation": []},  # zero frames
+            {"frame_embeds": emb, "conversation": []},      # long
+            {"frame_embeds": emb[:2], "conversation": []},
+            {"frame_embeds": emb[:2], "conversation": []},
+        ]
+        order = [i for i, _, _ in be.serve(iter(sessions))]
+        assert sorted(order) == [0, 1, 2, 3]
+        # the zero-frame session must complete FIRST: its lane was
+        # freed for sessions 2/3 while the 12-frame session streamed
+        assert order[0] == 0, order
+        assert order[-1] == 1, order  # the long stream finishes last
+        assert "zero frames" in capsys.readouterr().err
+
 
 class TestGenerationCoalescing:
     """`gen_coalesce_rounds`: a triggered lane may stall (its own clock
