@@ -53,20 +53,33 @@ class Collator:
     # smallest bucket >= the micro-batch's longest sample. None = always
     # pad to seq_len (the fixed-shape r4 behavior).
     buckets: Optional[Tuple[int, ...]] = None
+    # same idea for the FRAME axis (each <= max_frames): in pixel mode
+    # the tower encodes every padded slot, so a grounding micro with 10
+    # frames padded to 100 burns 10x vision compute; padded frames are
+    # never gathered into the text stream either way (joint_embed's
+    # cumsum stops at the real placeholders), so this is pure throughput.
+    frame_buckets: Optional[Tuple[int, ...]] = None
+
+    @staticmethod
+    def _norm_table(table, cap, what):
+        b = tuple(sorted(table))
+        if not b or b[-1] > cap:
+            raise ValueError(
+                f"{what} {b} must be non-empty and <= {cap}"
+            )
+        # the cap is always the terminal bucket, so every micro fits
+        return b if b[-1] == cap else b + (cap,)
 
     def __post_init__(self):
         if self.buckets is not None:
-            b = tuple(sorted(self.buckets))
-            if not b or b[-1] > self.seq_len:
-                raise ValueError(
-                    f"buckets {b} must be non-empty and <= seq_len "
-                    f"{self.seq_len}"
-                )
-            # seq_len is always the terminal bucket: truncation caps
-            # sample length at seq_len, so every micro-batch fits
-            if b[-1] != self.seq_len:
-                b = b + (self.seq_len,)
-            self.buckets = b
+            # truncation caps sample length at seq_len
+            self.buckets = self._norm_table(
+                self.buckets, self.seq_len, "buckets"
+            )
+        if self.frame_buckets is not None:
+            self.frame_buckets = self._norm_table(
+                self.frame_buckets, self.max_frames, "frame_buckets"
+            )
 
     def __call__(self, samples: Sequence[tuple]) -> Dict[str, np.ndarray]:
         tok = self.tokenizer
@@ -158,20 +171,15 @@ class Collator:
                 f"batch has {n_frames} frames > collator max_frames "
                 f"{self.max_frames}"
             )
-        # pad the frame axis to the fixed count; padded frames are never
-        # gathered (joint_embed's cumsum stops at the real placeholders)
-        if frames_cat.ndim == 4:  # raw pixels
-            padded = np.zeros(
-                (self.max_frames, *frames_cat.shape[1:]), frames_cat.dtype
-            )
-            padded[:n_frames] = frames_cat
-            batch["frames"] = padded
-        else:  # pre-extracted vision features (N, P, C)
-            padded = np.zeros(
-                (self.max_frames, *frames_cat.shape[1:]), frames_cat.dtype
-            )
-            padded[:n_frames] = frames_cat
-            batch["vision_feats"] = padded
+        # pad the frame axis to a static count (bucketed or max); padded
+        # frames are never gathered (joint_embed's cumsum stops at the
+        # real placeholders)
+        N = self.max_frames
+        if self.frame_buckets is not None:
+            N = next(b for b in self.frame_buckets if b >= n_frames)
+        padded = np.zeros((N, *frames_cat.shape[1:]), frames_cat.dtype)
+        padded[:n_frames] = frames_cat
+        batch["frames" if frames_cat.ndim == 4 else "vision_feats"] = padded
         batch["num_frames"] = np.asarray(n_frames, np.int32)
         return batch
 

@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "comma list like '1536,2560,5924'. Micro-batches "
                         "pad to the smallest bucket that fits; one XLA "
                         "compile per bucket")
+    p.add_argument("--frame_buckets", type=str, default="auto",
+                   help="same for the FRAME axis ('auto' = quarter/half/"
+                        "full of max frames): in pixel mode the tower "
+                        "encodes every padded slot, so frame bucketing "
+                        "cuts vision compute on short-video samples")
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=5)
     p.add_argument("--logging_steps", type=int, default=10)
@@ -76,17 +81,16 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_length_buckets(spec: str, seq_len: int) -> Optional[tuple]:
-    """--length_buckets → collator bucket table. 'auto' derives a 3-entry
-    table spanning the MMDuetIT mixture's ~1k (grounding) to ~5k (DVC)
-    token spread relative to the protocol-max seq_len."""
+def parse_length_buckets(spec: str, cap: int, quantum: int = 128) -> Optional[tuple]:
+    """--length_buckets / --frame_buckets → collator bucket table. 'auto'
+    derives a 3-entry quarter/half/full table (the MMDuetIT mixture spans
+    ~1k-token grounding to ~5k-token DVC samples), rounded to ``quantum``."""
     spec = (spec or "none").strip().lower()
     if spec == "none":
         return None
     if spec == "auto":
-        r128 = lambda x: max(128, int(round(x / 128)) * 128)  # noqa: E731
-        table = sorted({min(r128(seq_len / 4), seq_len),
-                        min(r128(seq_len / 2), seq_len), seq_len})
+        rq = lambda x: max(quantum, int(round(x / quantum)) * quantum)  # noqa: E731
+        table = sorted({min(rq(cap / 4), cap), min(rq(cap / 2), cap), cap})
         return tuple(table)
     return tuple(int(x) for x in spec.split(","))
 
@@ -198,17 +202,21 @@ def _accumulate(samples, collator, B, A, stack_accum):
     the optimizer-step interleaving across buckets reorders. Per-bucket
     leftovers at stream end are dropped — the same tail policy as the
     fixed path's final partial group, at most (A-1) micros per bucket."""
-    micro, by_len = [], {}
+    micro, by_shape = [], {}
     for sample in samples:
         micro.append(sample)
         if len(micro) == B:
             mb = collator(micro)
             micro = []
-            T = mb["input_ids"].shape[1]
-            q = by_len.setdefault(T, [])
+            # key on BOTH bucketed axes: seq len and frame count (an
+            # accum group must stack at one shape)
+            frames = mb.get("frames", mb.get("vision_feats"))
+            key = (mb["input_ids"].shape[1],
+                   frames.shape[0] if frames is not None else 0)
+            q = by_shape.setdefault(key, [])
             q.append(mb)
             if len(q) == A:
-                yield stack_accum(by_len.pop(T))
+                yield stack_accum(by_shape.pop(key))
 
 
 def main(argv=None):
@@ -330,6 +338,12 @@ def main(argv=None):
             tokenizer, seq_len=seq_len,
             max_frames=args.max_num_frames * B, frame_size=cfg.frame_resolution,
             buckets=parse_length_buckets(args.length_buckets, seq_len),
+            # frame-axis quantum: VISION_BATCH-ish granularity keeps the
+            # tower's batched encode shapes round without a compile per
+            # possible frame count
+            frame_buckets=parse_length_buckets(
+                args.frame_buckets, args.max_num_frames * B, quantum=8
+            ),
         )
         if collator.buckets and resume_step:
             # bucket-queue state at the kill point is not replayed: the

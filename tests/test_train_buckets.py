@@ -174,3 +174,61 @@ class TestAccumulateGrouping:
         groups = list(_accumulate(iter(samples), c, B=1, A=2, stack_accum=stack_accum))
         assert len(groups) == 1  # the short pair; the lone long micro drops
         assert groups[0]["input_ids"].shape[2] == 48
+
+
+class TestFrameBuckets:
+    """Frame-axis bucketing: pixel-mode vision encode cost tracks the
+    bucket, and extra padded frame slots never change the step's math
+    (padded frames are never gathered into the text stream)."""
+
+    def test_collator_picks_frame_bucket(self):
+        c = Collator(TOK, seq_len=128, max_frames=16, frame_size=8,
+                     buckets=(48,), frame_buckets=(4, 8))
+        assert c.frame_buckets == (4, 8, 16)
+        b = c([_sample(2)])
+        assert b["frames"].shape[0] == 4
+        b = c([_sample(6)])
+        assert b["frames"].shape[0] == 8
+
+    def test_frame_pad_invariance(self):
+        """The same micro padded to 1 vs 4 feature slots: identical
+        metrics and update (vision_feats mode; the extra rows are
+        zeros that joint_embed never gathers)."""
+        args = TrainArgs(learning_rate=1e-2, lora_r=4, lora_alpha=8,
+                         lr_schedule="constant")
+        tx, sched = make_optimizer(args, total_steps=10)
+        lora = init_lora(jax.random.PRNGKey(3), CFG.text, rank=4)
+        state = init_train_state(PARAMS, lora, tx)
+        step = make_train_step(CFG, args, tx, sched)
+
+        base = TestPadInvariance()._batch(16)
+
+        def with_n_feats(n):
+            feats = np.zeros(
+                (1, n, CFG.vision.num_patches, CFG.vision.hidden_size),
+                np.float32,
+            )
+            feats[:, :2] = np.asarray(base["vision_feats"])[:, :2]
+            return {**base, "vision_feats": jnp.asarray(feats)}
+
+        s2, m2 = step(state, PARAMS, with_n_feats(2))
+        s4, m4 = step(state, PARAMS, with_n_feats(4))
+        for k in ("loss", "lm_loss", "video_loss", "grad_norm"):
+            np.testing.assert_allclose(
+                float(m2[k]), float(m4[k]), rtol=1e-5, err_msg=k
+            )
+        for a, b in zip(jax.tree.leaves(s2.trainable),
+                        jax.tree.leaves(s4.trainable)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_grouping_keys_on_both_axes(self):
+        """Same token bucket but different frame buckets must NOT stack
+        into one accum group."""
+        c = Collator(TOK, seq_len=256, max_frames=64, frame_size=8,
+                     frame_buckets=(2, 16))
+        samples = [_sample(1), _sample(12)] * 2  # same token bucket (256)
+        groups = list(_accumulate(iter(samples), c, B=1, A=2,
+                                  stack_accum=stack_accum))
+        assert len(groups) == 2
+        assert sorted(g["frames"].shape[1] for g in groups) == [2, 16]
