@@ -1086,6 +1086,7 @@ def main():
         extra["generation_tok_s"] = round(run_generation(params, text, cfg), 1)
     except Exception as e:
         print(f"generation bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     del params
     gc.collect()
 
@@ -1112,6 +1113,7 @@ def main():
         gc.collect()
     except Exception as e:
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
         try:  # don't leak the ~7 GB int8 tree into later stages
             del qparams
         except NameError:
@@ -1132,6 +1134,7 @@ def main():
         gc.collect()
     except Exception as e:
         print(f"int4 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
         try:
             del q4params
         except NameError:
@@ -1155,6 +1158,7 @@ def main():
         )
     except Exception as e:
         print(f"vision bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # single-chip fully-resident int8 serving, end-to-end in THIS process
@@ -1163,6 +1167,7 @@ def main():
     except Exception as e:
         print(f"e2e int8 serving bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # multi-stream batched scoring (beyond-reference serving capability)
@@ -1171,6 +1176,7 @@ def main():
     except Exception as e:
         print(f"multistream bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # continuous-batched generation serving (scoring + triggered decode)
@@ -1179,15 +1185,7 @@ def main():
     except Exception as e:
         print(f"multistream-gen bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-    gc.collect()
-
-    # int4 lane-capacity config: the ~3.9 GB int4 decoder leaves HBM for
-    # 8 protocol-scale caches on one chip (int8 tops out at B=4)
-    try:
-        extra.update(run_multistream_gen(layers, quant="int4", b_list=(8,)))
-    except Exception as e:
-        print(f"int4 gen serving failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # int8 KV cache (per-token quantized K/V, dequant inside the flash
@@ -1200,6 +1198,7 @@ def main():
     except Exception as e:
         print(f"kv8 gen serving failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # max-capacity config: int4 weights (~3.9 GB) + int8 caches
@@ -1212,6 +1211,7 @@ def main():
     except Exception as e:
         print(f"int4+kv8 gen serving failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # dynamic-admission churn: more sessions than lanes, mixed lengths
@@ -1220,6 +1220,7 @@ def main():
     except Exception as e:
         print(f"serve-churn bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # training-step throughput + MFU (half depth: the full-depth bf16
@@ -1228,6 +1229,7 @@ def main():
         extra.update(run_train_step(min(layers, 14)))
     except Exception as e:
         print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     # length-bucketed vs fixed-pad real-token training throughput on the
@@ -1238,6 +1240,7 @@ def main():
     except Exception as e:
         print(f"bucketed train bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        jax.clear_caches()  # an OOMed stage's executables pin HBM (run2 cascade)
     gc.collect()
 
     peak, resident, method = hbm_probe()

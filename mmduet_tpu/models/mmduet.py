@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MMDuetConfig
-from . import qwen2, siglip
+from . import quant, qwen2, siglip
 from .qwen2 import KVCache
 
 Params = Dict[str, Any]
@@ -310,15 +310,17 @@ def step_forward(
         shard_ctx=shard_ctx,
     )
     last = jnp.take_along_axis(hidden, (tr - 1)[:, None, None], axis=1)  # (B, 1, H)
-    return _score_output(params, last, kv_cache, compute_lm_logits)
+    return _score_output(params, last, kv_cache, compute_lm_logits,
+                         use_kernel=quant.int4_kernel_auto(use_flash, shard_ctx))
 
 
-def _score_output(params, last, kv_cache, compute_lm_logits):
+def _score_output(params, last, kv_cache, compute_lm_logits,
+                  use_kernel: bool = False):
     inf = jax.nn.softmax(_head(params["informative_head"], last)[:, 0], axis=-1)[:, 1]
     rel = jax.nn.softmax(_head(params["relevance_head"], last)[:, 0], axis=-1)[:, 1]
     logits = None
     if compute_lm_logits:
-        logits = qwen2.lm_logits(params["lm_head"], last)[:, 0]
+        logits = qwen2.lm_logits(params["lm_head"], last, use_kernel=use_kernel)[:, 0]
     return StepOutput(logits, inf, rel, kv_cache)
 
 
@@ -520,7 +522,10 @@ def decode_loop(
             t_real=jnp.int32(1), use_flash=use_flash, shard_ctx=shard_ctx,
             scratch=KVCache(sk, sv), scratch_len=i - 1,
         )
-        logits = qwen2.lm_logits(params["lm_head"], hidden[:, :1])[:, 0]
+        logits = qwen2.lm_logits(
+            params["lm_head"], hidden[:, :1],
+            use_kernel=quant.int4_kernel_auto(use_flash, shard_ctx),
+        )[:, 0]
         tok = jnp.argmax(penalized(logits, mask), axis=-1).astype(jnp.int32)
         buf = buf.at[:, i].set(jnp.where(done, buf[:, i], tok))
         if rep is not None:

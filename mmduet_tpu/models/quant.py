@@ -53,12 +53,17 @@ def quantize_weight(w, reduce_axis: int) -> Dict[str, jax.Array]:
 def pack_int4(q: np.ndarray, axis: int) -> np.ndarray:
     """int8 values in [-8, 7] → nibble-packed int8, ``axis`` halves.
 
-    Even indices land in the LOW nibble, odd in the HIGH nibble of the
-    same byte (the order `unpack_int4` restores)."""
+    SPLIT-HALVES order: byte ``j`` holds value ``j`` (LOW nibble) and
+    value ``j + n/2`` (HIGH nibble) along ``axis`` — decode is then a
+    CONCAT of the two shifted copies, not a stride-2 interleave, which
+    on TPU avoids a cross-sublane shuffle pass over every weight
+    element (the pallas kernel decodes in VMEM; `unpack_int4` is the
+    same order for the XLA fallback/gather paths)."""
     axis = axis % q.ndim
     assert q.shape[axis] % 2 == 0, q.shape
-    lo = np.take(q, np.arange(0, q.shape[axis], 2), axis=axis)
-    hi = np.take(q, np.arange(1, q.shape[axis], 2), axis=axis)
+    n2 = q.shape[axis] // 2
+    lo = np.take(q, np.arange(0, n2), axis=axis)
+    hi = np.take(q, np.arange(n2, 2 * n2), axis=axis)
     return (
         (lo.astype(np.uint8) & 0x0F) | (hi.astype(np.uint8) << 4)
     ).view(np.int8)
@@ -68,15 +73,13 @@ def unpack_int4(p: jax.Array, axis: int) -> jax.Array:
     """Nibble-packed int8 → int8 values in [-8, 7]; ``axis`` doubles.
 
     `<<4 then arithmetic >>4` sign-extends the low nibble; the high
-    nibble sign-extends by the arithmetic shift alone. Cheap VPU byte
-    ops that XLA fuses into the consuming matmul's operand read."""
+    nibble sign-extends by the arithmetic shift alone. Split-halves
+    order (see `pack_int4`): the decoded axis is [all low nibbles ‖ all
+    high nibbles]."""
     lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
     hi = jnp.right_shift(p, 4)
     axis = axis % p.ndim
-    out = jnp.stack([lo, hi], axis=axis + 1)
-    return out.reshape(
-        p.shape[:axis] + (2 * p.shape[axis],) + p.shape[axis + 1:]
-    )
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 def quantize_weight_int4(
@@ -154,7 +157,8 @@ def is_quantized(leaf: Any) -> bool:
     )
 
 
-def quantized_matmul(y: jax.Array, w: Any) -> jax.Array:
+def quantized_matmul(y: jax.Array, w: Any,
+                     use_kernel: bool = False) -> jax.Array:
     """``(..., H) @ (H, O) -> (..., O)`` f32 accumulation for every
     weight layout — bf16 array, factored int8 ``{"qw","qs"}``, or
     grouped int4 — so the contraction contract lives in ONE place
@@ -162,13 +166,21 @@ def quantized_matmul(y: jax.Array, w: Any) -> jax.Array:
 
     - int8: per-out-channel scale factors out of the dot onto the f32
       accumulator; the ``.astype`` folds into the operand read on TPU.
-    - int4 grouped (qw4 packed (G, g/2, O), qs (G, 1, O)): the scale
-      varies along the reduction so it cannot factor out of one dot;
-      unpack the nibbles, contract per group (batched matmul) and scale
-      the f32 partials before the G-sum."""
+    - int4 grouped (qw4 packed (G, g/2, O), qs (G, 1, O)): with
+      ``use_kernel`` the Pallas kernel decodes the nibbles in VMEM and
+      keeps HBM traffic at the packed bytes (`ops/quant_matmul.py`) —
+      callers pass it on single-chip TPU paths only (GSPMD cannot
+      partition a pallas_call). The XLA fallback unpacks then contracts
+      per group; correct everywhere but materializes unpacked copies
+      (measured 20x slower on chip — kernel docstring)."""
     if is_quantized(w):
         if "qw4" in w:  # grouped int4 (nibble-packed)
             G, g2, O = w["qw4"].shape
+            if use_kernel:
+                from ..ops.quant_matmul import int4_matmul, int4_matmul_fits
+
+                if int4_matmul_fits(y.shape, w["qw4"].shape):
+                    return int4_matmul(y, w["qw4"], w["qs"])
             qw = unpack_int4(w["qw4"], 1)  # (G, g, O)
             yg = y.reshape(*y.shape[:-1], G, 2 * g2)
             out = jnp.einsum(
@@ -181,6 +193,20 @@ def quantized_matmul(y: jax.Array, w: Any) -> jax.Array:
             preferred_element_type=jnp.float32,
         ) * w["qs"].astype(jnp.float32)
     return jnp.einsum("...h,ho->...o", y, w, preferred_element_type=jnp.float32)
+
+
+def int4_kernel_auto(use_flash, shard_ctx) -> bool:
+    """Should this forward use the Pallas int4-matmul kernel?
+
+    Mirrors the engines' pallas gating: ``use_flash is False`` marks a
+    GSPMD-compiled path and ``shard_ctx`` marks shard_map attention with
+    GSPMD projections — a pallas_call cannot be partitioned in either,
+    so the kernel is single-chip (or interpret-test) only."""
+    if use_flash is False or shard_ctx is not None:
+        return False
+    from ..ops import quant_matmul as _qm
+
+    return jax.default_backend() == "tpu" or _qm._FORCE_INTERPRET
 
 
 def _qw(w, reduce_axis: int, bits: int) -> Dict[str, jax.Array]:

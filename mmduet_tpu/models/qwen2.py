@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Qwen2Config
-from .quant import quantized_matmul
+from .quant import int4_kernel_auto, quantized_matmul
 
 Params = Dict[str, Any]
 
@@ -402,12 +402,16 @@ def qwen2_forward(
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, :] & attn_mask[:, :, None]
 
+    # int4 projections route through the Pallas decode-in-VMEM kernel on
+    # single-chip pallas-capable paths (no-op for bf16/int8 leaves)
+    quant_kernel = int4_kernel_auto(use_flash, shard_ctx)
+
     def layer_body(x, inputs):
         p = inputs["p"]
         lo = inputs.get("lora")
 
         def proj(name, y, bias_name=None):
-            out = quantized_matmul(y, p[name])
+            out = quantized_matmul(y, p[name], use_kernel=quant_kernel)
             if lo is not None and name in lo:
                 a, b = lo[name]["a"], lo[name]["b"]  # (H,r), (r,O)
                 out = out + lora_scale * jnp.einsum(
@@ -628,7 +632,8 @@ def embed_tokens(params: Params, input_ids: jax.Array, vocab_size: int) -> jax.A
     return jnp.take(emb, ids, axis=0)
 
 
-def lm_logits(lm_head, hidden: jax.Array) -> jax.Array:
+def lm_logits(lm_head, hidden: jax.Array,
+              use_kernel: bool = False) -> jax.Array:
     """(B,T,H) @ (H,V) -> f32 logits (bf16 / int8 / grouped-int4
     layouts via `quant.quantized_matmul`)."""
-    return quantized_matmul(hidden, lm_head)
+    return quantized_matmul(hidden, lm_head, use_kernel=use_kernel)
