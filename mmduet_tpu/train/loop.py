@@ -208,11 +208,14 @@ def _accumulate(samples, collator, B, A, stack_accum):
         if len(micro) == B:
             mb = collator(micro)
             micro = []
-            # key on BOTH bucketed axes: seq len and frame count (an
-            # accum group must stack at one shape)
-            frames = mb.get("frames", mb.get("vision_feats"))
-            key = (mb["input_ids"].shape[1],
-                   frames.shape[0] if frames is not None else 0)
+            # an accum group must stack at one shape, so key on the shape
+            # of every array leaf — this covers both bucketed axes (seq
+            # len via input_ids, frame count via frames/vision_feats)
+            # without assuming which leaves a collator emits
+            key = tuple(
+                (name, v.shape) for name, v in sorted(mb.items())
+                if hasattr(v, "shape")
+            )
             q = by_shape.setdefault(key, [])
             q.append(mb)
             if len(q) == A:
